@@ -1,0 +1,325 @@
+"""Vectorized ESVO traversal — lane-parallel PUSH/ADVANCE/POP over ray batches.
+
+This is the TPU-native re-design of the reference's per-thread traversal loop
+(Assets/Shaders/NVIDIASVO.compute:57-156, Assets/Scripts/SVO/CompactSVO/
+Trace.cu): on TPU there is no thread divergence, so every lane executes every
+iteration and PUSH/ADVANCE/POP become masked `where` selects (SURVEY.md
+§7.3.1). Per-ray traversal stacks are (depth, n_rays) arrays addressed with
+vectorized gather/scatter instead of per-thread local memory
+(NVIDIASVO.compute:13).
+
+The step function is written once against a minimal backend shim and driven
+two ways:
+  * numpy  — python while loop over the active mask (CPU reference images)
+  * jax    — lax.while_loop under jit (the XLA compute path; also the
+             semantic spec for the Pallas kernel in traverse_pallas.py)
+
+Bit-level scheme identical to reference/traverse.py (same float-mantissa
+scale recovery, mirroring, popcount child ranks).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+S_MAX = 23
+
+
+def popc8(v, xp):
+    """8-bit popcount via bit tricks (reference uses a 256-entry LUT,
+    NVIDIAIterativeTracer.cs:319-342, and HLSL countbits,
+    NVIDIASVO.compute:104)."""
+    v = v & 0xFF
+    v = v - ((v >> 1) & 0x55)
+    v = (v & 0x33) + ((v >> 2) & 0x33)
+    return (v + (v >> 4)) & 0x0F
+
+
+def _f2i(x, xp):
+    if xp is np:
+        return np.asarray(x, np.float32).view(np.int32)
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _i2f(x, xp):
+    if xp is np:
+        return np.asarray(x, np.int32).view(np.float32)
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+
+class TraceState(NamedTuple):
+    # per-ray traversal registers; shapes (N,) or (N, 3)
+    pos: object        # f32 (N,3) mirrored lower corner of current child voxel
+    idx: object        # i32 (N,)  mirrored child index bits
+    parent: object     # i32 (N,)  current node row
+    scale: object      # i32 (N,)
+    scale_exp2: object  # f32 (N,)
+    t_min: object      # f32 (N,)
+    t_max: object      # f32 (N,)
+    h: object          # f32 (N,)  last pushed tc_max (stack-write filter)
+    octant_mask: object  # i32 (N,)
+    t_coef: object     # f32 (N,3)
+    t_bias: object     # f32 (N,3)
+    done: object       # bool (N,)
+    hit_leaf: object   # i32 (N,)  leaf row or -1
+    hit_t: object      # f32 (N,)
+    hit_parent: object  # i32 (N,)
+    hit_child: object  # i32 (N,)
+    stack_node: object  # i32 (S, N)
+    stack_tmax: object  # f32 (S, N)
+    iters: object      # i32 (N,)
+
+
+class TraceResult(NamedTuple):
+    hit_leaf: object   # i32 (N,) leaf row, -1 on miss
+    hit_t: object      # f32 (N,) entry t (octree-local units)
+    hit_parent: object  # i32 (N,)
+    hit_child: object  # i32 (N,) unmirrored child slot
+    iters: object      # i32 (N,)
+
+
+def init_state(origin, direction, depth, xp):
+    """Vectorized traversal init (mirroring + cube entry), octree-local coords
+    in [0,1]^3 mapped to the [1,2]^3 traversal cube (NVIDIASVO.compute:15-38)."""
+    f32, i32 = xp.float32, xp.int32
+    o = xp.asarray(origin, f32) + f32(1.0)
+    d = xp.asarray(direction, f32)
+    n = o.shape[0]
+
+    eps = f32(2.0 ** -S_MAX)
+    d = xp.where(xp.abs(d) < eps, xp.where(d >= 0, eps, -eps), d)
+
+    t_coef = f32(-1.0) / xp.abs(d)
+    t_bias = t_coef * o
+
+    pos_dir = d > 0.0
+    bit = xp.asarray([1, 2, 4], i32)
+    octant_mask = xp.int32(7) ^ xp.sum(
+        xp.where(pos_dir, bit[None, :], xp.int32(0)), axis=1, dtype=i32
+    )
+    t_bias = xp.where(pos_dir, f32(3.0) * t_coef - t_bias, t_bias)
+
+    t_min = xp.max(f32(2.0) * t_coef - t_bias, axis=1)
+    t_max = xp.min(t_coef - t_bias, axis=1)
+    t_min = xp.maximum(t_min, f32(0.0))
+
+    miss = t_min >= t_max
+
+    # first child of the root
+    t_half = f32(1.5) * t_coef - t_bias
+    upper = t_half > t_min[:, None]
+    idx = xp.sum(xp.where(upper, bit[None, :], xp.int32(0)), axis=1, dtype=i32)
+    pos = xp.where(upper, f32(1.5), f32(1.0))
+
+    S = depth
+    return TraceState(
+        pos=pos,
+        idx=idx,
+        parent=xp.zeros(n, i32),
+        scale=xp.full(n, S_MAX - 1, i32),
+        scale_exp2=xp.full(n, 0.5, f32),
+        t_min=t_min.astype(f32),
+        t_max=t_max.astype(f32),
+        h=t_max.astype(f32),
+        octant_mask=octant_mask,
+        t_coef=t_coef.astype(f32),
+        t_bias=t_bias.astype(f32),
+        done=miss,
+        hit_leaf=xp.full(n, -1, i32),
+        hit_t=xp.zeros(n, f32),
+        hit_parent=xp.zeros(n, i32),
+        hit_child=xp.zeros(n, i32),
+        stack_node=xp.zeros((S, n), i32),
+        stack_tmax=xp.zeros((S, n), f32),
+        iters=xp.zeros(n, i32),
+    )
+
+
+def step(state: TraceState, masks, child_base, leaf_base, depth, xp):
+    """One masked PUSH/ADVANCE/POP iteration over all rays."""
+    f32, i32 = xp.float32, xp.int32
+    s = state
+    n = s.parent.shape[0]
+    ray_ids = xp.arange(n)
+    s0 = S_MAX - depth  # lowest scale in use; stack slot = scale - s0
+    active = ~s.done
+
+    desc = xp.take(masks, s.parent)
+    vm = (desc >> 8) & 0xFF
+    lm = desc & 0xFF
+
+    t_corner = s.pos * s.t_coef - s.t_bias            # (N,3)
+    tc_max = xp.min(t_corner, axis=1)
+
+    # true child slot = mirrored idx flipped on mirrored axes (= ^ octant ^ 7,
+    # see reference/traverse.py)
+    child_shift = s.idx ^ s.octant_mask ^ 7
+    child_valid = ((vm >> child_shift) & 1) != 0
+    can = child_valid & (s.t_min <= s.t_max) & active
+
+    tv_max = xp.minimum(s.t_max, tc_max)
+    half = s.scale_exp2 * f32(0.5)
+    t_center = half[:, None] * s.t_coef + t_corner
+
+    enter = can & (s.t_min <= tv_max)
+    below = (xp.int32(1) << child_shift) - 1
+    leaf_bit = ((lm >> child_shift) & 1) != 0
+
+    # ---- leaf hit ----
+    hit_now = enter & leaf_bit
+    leaf_rank = popc8(vm & lm & below, xp)
+    hit_leaf = xp.where(hit_now, xp.take(leaf_base, s.parent) + leaf_rank, s.hit_leaf)
+    hit_t = xp.where(hit_now, s.t_min, s.hit_t)
+    hit_parent = xp.where(hit_now, s.parent, s.hit_parent)
+    hit_child = xp.where(hit_now, child_shift, s.hit_child)
+    done = s.done | hit_now
+
+    # ---- PUSH ----
+    push = enter & ~leaf_bit
+    stack_slot = xp.clip(s.scale - s0, 0, depth - 1)
+    write = push & (tc_max < s.h)
+    if xp is np:
+        stack_node = s.stack_node.copy()
+        stack_tmax = s.stack_tmax.copy()
+        old_n = stack_node[stack_slot, ray_ids]
+        old_t = stack_tmax[stack_slot, ray_ids]
+        stack_node[stack_slot, ray_ids] = np.where(write, s.parent, old_n)
+        stack_tmax[stack_slot, ray_ids] = np.where(write, s.t_max, old_t)
+    else:
+        stack_node = s.stack_node.at[stack_slot, ray_ids].set(
+            xp.where(write, s.parent, s.stack_node[stack_slot, ray_ids])
+        )
+        stack_tmax = s.stack_tmax.at[stack_slot, ray_ids].set(
+            xp.where(write, s.t_max, s.stack_tmax[stack_slot, ray_ids])
+        )
+    h = xp.where(push, tc_max, s.h)
+
+    node_rank = popc8(vm & ~lm & below, xp)
+    parent = xp.where(push, xp.take(child_base, s.parent) + node_rank, s.parent)
+
+    upper = t_center > s.t_min[:, None]
+    bit = xp.asarray([1, 2, 4], i32)
+    idx_descend = xp.sum(xp.where(upper, bit[None, :], xp.int32(0)), axis=1, dtype=i32)
+    pos_descend = s.pos + xp.where(upper, half[:, None], f32(0.0))
+
+    idx = xp.where(push, idx_descend, s.idx)
+    pos = xp.where(push[:, None], pos_descend, s.pos)
+    scale = xp.where(push, s.scale - 1, s.scale)
+    scale_exp2 = xp.where(push, half, s.scale_exp2)
+    t_max = xp.where(push, tv_max, s.t_max)
+
+    # ---- ADVANCE ----
+    adv = active & ~push & ~hit_now
+    step_bits = t_corner <= tc_max[:, None]
+    step_mask = xp.sum(xp.where(step_bits, bit[None, :], xp.int32(0)), axis=1, dtype=i32)
+    pos_adv = pos - xp.where(step_bits & adv[:, None], scale_exp2[:, None], f32(0.0))
+    t_min = xp.where(adv, xp.maximum(s.t_min, tc_max), s.t_min)
+    idx_adv = xp.where(adv, idx ^ step_mask, idx)
+    pos = xp.where(adv[:, None], pos_adv, pos)
+
+    # ---- POP ----
+    pop = adv & ((idx_adv & step_mask) != 0)
+    xor_bits = _f2i(pos, xp) ^ _f2i(pos + scale_exp2[:, None], xp)
+    differing = xp.sum(
+        xp.where(step_bits, xor_bits, xp.int32(0)), axis=1, dtype=i32
+    ) | xp.int32(1)  # |1 keeps the f32 cast well-defined on inactive lanes
+    new_scale = (_f2i(differing.astype(f32), xp) >> 23) - 127
+    oob = pop & ((new_scale >= S_MAX) | (new_scale < s0))
+    pop_ok = pop & ~oob
+    done = done | oob
+
+    scale = xp.where(pop_ok, new_scale, scale)
+    scale_exp2 = xp.where(
+        pop_ok, _i2f((xp.clip(new_scale, s0, S_MAX - 1) - S_MAX + 127) << 23, xp),
+        scale_exp2,
+    )
+    slot = xp.clip(scale - s0, 0, depth - 1)
+    parent = xp.where(pop_ok, stack_node[slot, ray_ids], parent)
+    t_max = xp.where(pop_ok, stack_tmax[slot, ray_ids], t_max)
+
+    shift = xp.clip(scale, 0, 31)
+    sh = _f2i(pos, xp) >> shift[:, None]
+    pos = xp.where(pop_ok[:, None], _i2f(sh << shift[:, None], xp), pos)
+    idx = xp.where(
+        pop_ok,
+        (sh[:, 0] & 1) | ((sh[:, 1] & 1) << 1) | ((sh[:, 2] & 1) << 2),
+        idx_adv,
+    )
+    h = xp.where(pop_ok, f32(0.0), h)
+
+    return TraceState(
+        pos=pos,
+        idx=idx,
+        parent=parent,
+        scale=scale,
+        scale_exp2=scale_exp2,
+        t_min=t_min,
+        t_max=t_max,
+        h=h,
+        octant_mask=s.octant_mask,
+        t_coef=s.t_coef,
+        t_bias=s.t_bias,
+        done=done,
+        hit_leaf=hit_leaf,
+        hit_t=hit_t,
+        hit_parent=hit_parent,
+        hit_child=hit_child,
+        stack_node=stack_node,
+        stack_tmax=stack_tmax,
+        iters=s.iters + active.astype(i32),
+    )
+
+
+def max_iters_for_depth(depth: int) -> int:
+    # Worst-case PUSH/ADVANCE/POP step count; the reference bounds work by
+    # scale < s_max only (NVIDIASVO.compute:57) — we add an explicit trip
+    # bound so the vectorized loop always terminates.
+    return 16 * depth + 48
+
+
+def trace_numpy(svo, origin, direction) -> TraceResult:
+    """Numpy driver: python loop until every lane is done."""
+    masks = np.asarray(svo.masks)
+    child_base = np.asarray(svo.child_base)
+    leaf_base = np.asarray(svo.leaf_base)
+    st = init_state(np.asarray(origin), np.asarray(direction), svo.depth, np)
+    for _ in range(max_iters_for_depth(svo.depth)):
+        if bool(np.all(st.done)):
+            break
+        st = step(st, masks, child_base, leaf_base, svo.depth, np)
+    return TraceResult(st.hit_leaf, st.hit_t, st.hit_parent, st.hit_child, st.iters)
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def _trace_jax(masks, child_base, leaf_base, origin, direction, depth):
+    st = init_state(origin, direction, depth, jnp)
+    n_max = max_iters_for_depth(depth)
+
+    def cond(carry):
+        i, st = carry
+        return (i < n_max) & jnp.any(~st.done)
+
+    def body(carry):
+        i, st = carry
+        return i + 1, step(st, masks, child_base, leaf_base, depth, jnp)
+
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+    return TraceResult(st.hit_leaf, st.hit_t, st.hit_parent, st.hit_child, st.iters)
+
+
+def trace_jax(svo, origin, direction) -> TraceResult:
+    """XLA driver: jitted lax.while_loop over the whole ray batch."""
+    return _trace_jax(
+        jnp.asarray(svo.masks),
+        jnp.asarray(svo.child_base),
+        jnp.asarray(svo.leaf_base),
+        origin,
+        direction,
+        svo.depth,
+    )

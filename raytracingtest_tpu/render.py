@@ -1,0 +1,130 @@
+"""Forward renderer: camera rays -> traversal -> shading -> image.
+
+Replaces the reference megakernel pipeline (Assets/Shaders/
+RaytraceCompute.compute:143-168: CreateCameraRay -> Trace/IntersectSVO ->
+Shade -> skybox miss) and the progressive-accumulation blit
+(Assets/Shaders/AddShader.shader:42-46, sample-counted running average).
+
+Shading parity: Lambert diffuse N.L x light intensity x albedo on hit
+(RaytraceCompute.compute:93-116 — whose specular bounce path is dead code,
+energy *= 0, so the effective model is one diffuse bounce), procedural sky
+gradient on miss (stand-in for the reference's skybox texture sample,
+RaytraceCompute.compute:117-126).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from raytracingtest_tpu.ops.camera import Camera, OctreeFrame
+from raytracingtest_tpu.ops import traverse
+
+
+@dataclasses.dataclass(frozen=True)
+class Light:
+    """Directional light (reference: RaytracingMaster.cs:36-41 passes the
+    scene light's direction + intensity to the shader)."""
+
+    direction: tuple = (-0.5, -1.0, -0.3)
+    intensity: float = 1.3
+    ambient: float = 0.08
+
+
+SKY_HORIZON = np.array([0.71, 0.82, 0.95], np.float32)
+SKY_ZENITH = np.array([0.22, 0.42, 0.80], np.float32)
+
+
+def sky_color(d, xp):
+    """Procedural vertical-gradient skybox (miss shading)."""
+    t = xp.clip(d[..., 1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
+    hor = xp.asarray(SKY_HORIZON)
+    zen = xp.asarray(SKY_ZENITH)
+    return hor * (1.0 - t) + zen * t
+
+
+def shade(res: traverse.TraceResult, direction, leaf_albedo, leaf_normal,
+          light: Light, xp):
+    """Shade traced rays: Lambert + ambient on hit, sky on miss. (N,3)."""
+    hit = res.hit_leaf >= 0
+    safe_leaf = xp.where(hit, res.hit_leaf, 0)
+    if leaf_albedo.shape[0] == 0:  # empty scene: no leaf can be hit
+        leaf_albedo = xp.zeros((1, 3), xp.float32)
+        leaf_normal = xp.zeros((1, 3), xp.float32)
+    alb = xp.take(leaf_albedo, safe_leaf, axis=0)
+    nrm = xp.take(leaf_normal, safe_leaf, axis=0)
+    ldir = xp.asarray(light.direction, xp.float32)
+    ldir = ldir / xp.sqrt(xp.sum(ldir * ldir))
+    ndotl = xp.maximum(xp.sum(nrm * (-ldir)[None, :], axis=-1), 0.0)
+    lit = alb * (ndotl * light.intensity + light.ambient)[:, None]
+    sky = sky_color(xp.asarray(direction, xp.float32), xp)
+    return xp.where(hit[:, None], lit, sky)
+
+
+def render_numpy(svo, camera: Camera, light: Light = Light(),
+                 frame: OctreeFrame = OctreeFrame(), jitter=None):
+    """CPU reference image (numpy traversal). Returns (H, W, 3) float32."""
+    o, d = camera.rays(np, jitter=jitter)
+    o, d = frame.world_to_local(o, d, np)
+    res = traverse.trace_numpy(svo, o, d)
+    img = shade(res, d, np.asarray(svo.leaf_albedo), np.asarray(svo.leaf_normal),
+                light, np)
+    return img.reshape(camera.height, camera.width, 3).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("depth", "height", "width"))
+def _render_jax(masks, child_base, leaf_base, leaf_albedo, leaf_normal,
+                o, d, depth, height, width, light_dir, light_intensity,
+                light_ambient):
+    res = traverse._trace_jax(masks, child_base, leaf_base, o, d, depth)
+    hit = res.hit_leaf >= 0
+    safe_leaf = jnp.where(hit, res.hit_leaf, 0)
+    if leaf_albedo.shape[0] == 0:  # empty scene: no leaf can be hit
+        leaf_albedo = jnp.zeros((1, 3), jnp.float32)
+        leaf_normal = jnp.zeros((1, 3), jnp.float32)
+    alb = jnp.take(leaf_albedo, safe_leaf, axis=0)
+    nrm = jnp.take(leaf_normal, safe_leaf, axis=0)
+    ldir = light_dir / jnp.sqrt(jnp.sum(light_dir * light_dir))
+    ndotl = jnp.maximum(jnp.sum(nrm * (-ldir)[None, :], axis=-1), 0.0)
+    lit = alb * (ndotl * light_intensity + light_ambient)[:, None]
+    sky = sky_color(d, jnp)
+    img = jnp.where(hit[:, None], lit, sky)
+    return img.reshape(height, width, 3)
+
+
+def render_jax(svo, camera: Camera, light: Light = Light(),
+               frame: OctreeFrame = OctreeFrame(), jitter=None):
+    """Jitted single-device render. Returns (H, W, 3) float32 device array."""
+    o, d = camera.rays(np, jitter=jitter)
+    o, d = frame.world_to_local(o, d, np)
+    return _render_jax(
+        jnp.asarray(svo.masks), jnp.asarray(svo.child_base),
+        jnp.asarray(svo.leaf_base), jnp.asarray(svo.leaf_albedo),
+        jnp.asarray(svo.leaf_normal),
+        jnp.asarray(o), jnp.asarray(d), svo.depth,
+        camera.height, camera.width,
+        jnp.asarray(light.direction, jnp.float32),
+        jnp.float32(light.intensity), jnp.float32(light.ambient),
+    )
+
+
+def render_progressive(svo, camera: Camera, n_samples: int = 8,
+                       light: Light = Light(),
+                       frame: OctreeFrame = OctreeFrame(), seed: int = 0,
+                       backend: str = "jax"):
+    """Progressive jittered accumulation — the AddShader running average
+    (AddShader.shader:42-46: each frame blended with alpha 1/(sample+1))."""
+    rng = np.random.default_rng(seed)
+    acc = None
+    render = render_jax if backend == "jax" else render_numpy
+    for s in range(n_samples):
+        jitter = rng.random(2, dtype=np.float32)
+        img = render(svo, camera, light=light, frame=frame, jitter=jitter)
+        img = np.asarray(img)
+        acc = img if acc is None else acc + (img - acc) / (s + 1)
+    return acc

@@ -1,0 +1,80 @@
+import numpy as np
+import pytest
+
+from raytracingtest_tpu.ops.camera import Camera, OctreeFrame
+from raytracingtest_tpu.ops.octree import build_svo
+from raytracingtest_tpu.render import Light, render_jax, render_numpy, render_progressive
+from raytracingtest_tpu.scenes import get_scene
+
+
+@pytest.fixture(scope="module")
+def sphere5():
+    return build_svo(get_scene("sphere"), 5).svo
+
+
+CAM = Camera(position=(0.5, 0.6, -1.2), look_at=(0.5, 0.5, 0.5),
+             fov_y_deg=40.0, width=64, height=64)
+ORTHO = Camera(position=(0.5, 0.5, -1.2), look_at=(0.5, 0.5, 0.5),
+               ortho_height=1.2, width=64, height=64)
+
+
+def test_render_numpy_sphere_silhouette(sphere5):
+    from raytracingtest_tpu.ops import traverse
+
+    img = render_numpy(sphere5, CAM)
+    assert img.shape == (64, 64, 3)
+    assert np.isfinite(img).all()
+    # centre pixel hits the sphere, corner pixel sees sky
+    o, d = CAM.rays(np)
+    res = traverse.trace_numpy(sphere5, o, d)
+    hit_mask = (res.hit_leaf >= 0).reshape(64, 64)
+    assert hit_mask[32, 32]
+    assert not hit_mask[0, 0]
+    # silhouette coverage: the r=0.3 sphere seen from ~1.7 away at 40 deg
+    # covers a substantial fraction of the frame
+    assert 0.05 < hit_mask.mean() < 0.9
+
+
+def test_render_jax_matches_numpy(sphere5):
+    img_np = render_numpy(sphere5, CAM)
+    img_jx = np.asarray(render_jax(sphere5.device(), CAM))
+    np.testing.assert_allclose(img_np, img_jx, rtol=1e-4, atol=1e-5)
+
+
+def test_render_ortho_matches(sphere5):
+    img_np = render_numpy(sphere5, ORTHO)
+    img_jx = np.asarray(render_jax(sphere5.device(), ORTHO))
+    np.testing.assert_allclose(img_np, img_jx, rtol=1e-4, atol=1e-5)
+    # orthographic circle: hit fraction ~ pi*r^2/(w*h) with r=0.3, extent 1.2
+    hit_mask = np.abs(img_np - img_np[0, 0]).sum(-1) > 1e-3
+    frac = hit_mask.mean()
+    expected = np.pi * 0.3 ** 2 / (1.2 * 1.2)
+    assert abs(frac - expected) < 0.05
+
+
+def test_render_world_frame(sphere5):
+    # octree placed at a different world position/scale must render the same
+    # image when the camera moves with it
+    frame = OctreeFrame(origin=(10.0, -2.0, 3.0), size=4.0)
+    cam_w = Camera(
+        position=(10.0 + 4 * 0.5, -2.0 + 4 * 0.6, 3.0 - 4 * 1.2),
+        look_at=(12.0, 0.0, 5.0), fov_y_deg=40.0, width=64, height=64,
+    )
+    img_local = render_numpy(sphere5, CAM)
+    img_world = render_numpy(sphere5, cam_w, frame=frame)
+    np.testing.assert_allclose(img_local, img_world, rtol=1e-3, atol=2e-3)
+
+
+def test_progressive_accumulation_reduces_noise(sphere5):
+    img1 = render_progressive(sphere5, CAM, n_samples=1, backend="numpy", seed=0)
+    img8 = render_progressive(sphere5, CAM, n_samples=8, backend="numpy", seed=0)
+    assert img1.shape == img8.shape == (64, 64, 3)
+    # jittered accumulation stays close to a single sample in smooth regions
+    assert np.allclose(img1[0, 0], img8[0, 0], atol=2e-2)
+    assert np.isfinite(img8).all()
+
+
+def test_light_direction_changes_shading(sphere5):
+    a = render_numpy(sphere5, CAM, light=Light(direction=(-1.0, -1.0, 0.0)))
+    b = render_numpy(sphere5, CAM, light=Light(direction=(1.0, -1.0, 0.0)))
+    assert not np.allclose(a, b)
