@@ -1,0 +1,129 @@
+"""Differentiable rendering: pixel gradients -> per-voxel parameters.
+
+New capability mandated by the north star (BASELINE.json) with no reference
+counterpart (the reference renderer is forward-only): the traversal output
+(hit leaf index, t) is treated as non-differentiable discrete structure, and
+shading is a differentiable function of per-voxel parameters (albedo,
+normal, density as float arrays — the compressed attachment codec in
+ops/codecs.py is kept for parity/IO only; the gradient path uses fp params).
+
+The backward pass routes millions of per-pixel cotangents to few voxel rows
+without atomics: cotangents are sorted by leaf id and reduced with
+jax.ops.segment_sum (indices_are_sorted=True) inside a custom VJP — the
+deterministic, TPU-friendly scatter demanded by SURVEY.md §7.3.6.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from raytracingtest_tpu.ops import traverse
+from raytracingtest_tpu.render import sky_color
+
+
+# ---------------------------------------------------------------------------
+# gather with deterministic segment-sum backward
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def gather_voxel_params(albedo, normal, density, leaf_id):
+    """Gather per-voxel parameter rows for each ray's hit leaf.
+
+    leaf_id must be pre-clamped to [0, n_leaves); masking of misses happens
+    in the shading function (their cotangents are zero, so the backward
+    scatter is unaffected).
+    """
+    return (
+        jnp.take(albedo, leaf_id, axis=0),
+        jnp.take(normal, leaf_id, axis=0),
+        jnp.take(density, leaf_id, axis=0),
+    )
+
+
+def _gather_fwd(albedo, normal, density, leaf_id):
+    out = gather_voxel_params(albedo, normal, density, leaf_id)
+    return out, (leaf_id, albedo.shape[0])
+
+
+def _gather_bwd(res, cot):
+    leaf_id, n_leaves = res
+    g_alb, g_nrm, g_den = cot
+    # sort cotangents by leaf id -> contiguous segments -> one deterministic
+    # segment reduction (atomic-free scatter)
+    order = jnp.argsort(leaf_id)
+    sorted_ids = jnp.take(leaf_id, order)
+    d_alb = jax.ops.segment_sum(
+        jnp.take(g_alb, order, axis=0), sorted_ids,
+        num_segments=n_leaves, indices_are_sorted=True,
+    )
+    d_nrm = jax.ops.segment_sum(
+        jnp.take(g_nrm, order, axis=0), sorted_ids,
+        num_segments=n_leaves, indices_are_sorted=True,
+    )
+    d_den = jax.ops.segment_sum(
+        jnp.take(g_den, order, axis=0), sorted_ids,
+        num_segments=n_leaves, indices_are_sorted=True,
+    )
+    return d_alb, d_nrm, d_den, None
+
+
+gather_voxel_params.defvjp(_gather_fwd, _gather_bwd)
+
+
+# ---------------------------------------------------------------------------
+# differentiable shading + rendering
+# ---------------------------------------------------------------------------
+
+def shade_diff(hit_leaf, direction, albedo, normal, density,
+               light_dir, light_intensity, light_ambient):
+    """Differentiable Lambert shading of traced rays. (N,3) radiance.
+
+    Misses shade to the sky color; their gradient contribution to voxel
+    params is exactly zero. Density scales hit opacity (alpha-composited
+    against the sky), giving density a gradient path even in the
+    single-hit renderer.
+    """
+    hit = hit_leaf >= 0
+    safe_leaf = jnp.where(hit, hit_leaf, 0)
+    alb, nrm, den = gather_voxel_params(albedo, normal, density, safe_leaf)
+    ldir = light_dir / jnp.sqrt(jnp.sum(light_dir * light_dir))
+    # normalize stored normals through the graph so normal grads stay tangent
+    nn = nrm / jnp.sqrt(jnp.maximum(jnp.sum(nrm * nrm, -1, keepdims=True), 1e-12))
+    ndotl = jnp.maximum(jnp.sum(nn * (-ldir)[None, :], axis=-1), 0.0)
+    lit = alb * (ndotl * light_intensity + light_ambient)[:, None]
+    sky = sky_color(direction, jnp)
+    alpha = jnp.clip(den, 0.0, 1.0)[:, None] * hit[:, None]
+    return alpha * lit + (1.0 - alpha) * sky
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def render_diff(albedo, normal, density, masks, child_base, leaf_base,
+                o, d, depth, light_dir,
+                light_intensity=1.3, light_ambient=0.08):
+    """Differentiable render of a flat ray batch. Returns (N, 3) radiance.
+
+    Traversal runs under stop_gradient (discrete structure); shading is
+    differentiable in (albedo, normal, density).
+    """
+    res = traverse._trace_jax(masks, child_base, leaf_base, o, d, depth)
+    hit_leaf = jax.lax.stop_gradient(res.hit_leaf)
+    return shade_diff(hit_leaf, d, albedo, normal, density,
+                      light_dir, light_intensity, light_ambient)
+
+
+def l2_loss(albedo, normal, density, masks, child_base, leaf_base,
+            o, d, depth, light_dir, target):
+    img = render_diff(albedo, normal, density, masks, child_base, leaf_base,
+                      o, d, depth, light_dir)
+    return jnp.mean((img - target) ** 2)
+
+
+loss_and_grads = jax.jit(
+    jax.value_and_grad(l2_loss, argnums=(0, 1, 2)),
+    static_argnames=("depth",),
+)

@@ -1,0 +1,98 @@
+"""Multi-chip rendering + inverse-rendering training via shard_map.
+
+The TPU-native replacement for the reference's single-GPU dispatch
+(RaytracingMaster.cs:66-68): rays are sharded over the device mesh's "rays"
+axis (the analog of data/sequence parallelism for this workload, SURVEY.md
+§2.8), the packed octree and voxel parameters are replicated, and voxel-
+parameter gradients are reduced with an explicit psum over the mesh — the
+XLA-collective equivalent of a NCCL all-reduce, riding ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from raytracingtest_tpu import diff
+from raytracingtest_tpu.ops import traverse
+from raytracingtest_tpu.parallel.mesh import RAY_AXIS
+
+
+def render_sharded(mesh, albedo, normal, density,
+                   masks, child_base, leaf_base, o, d, depth,
+                   light_dir):
+    """Forward render with rays sharded across the mesh. (N,3) radiance.
+
+    N must be divisible by the mesh size (pad rays to a multiple upstream).
+    """
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=P(RAY_AXIS),
+        # the traversal carry mixes ray-varying state with constant-initialized
+        # registers (parent=0, stack=0), which trips the varying-manual-axes
+        # checker even though the program is correct
+        check_vma=False,
+    )
+    def _render(albedo, normal, density, masks, child_base, leaf_base,
+                o_s, d_s, light_dir):
+        return diff.render_diff(albedo, normal, density, masks, child_base,
+                                leaf_base, o_s, d_s, depth, light_dir)
+
+    return jax.jit(_render)(albedo, normal, density, masks, child_base,
+                            leaf_base, o, d, light_dir)
+
+
+def make_train_step(mesh, depth, optimizer):
+    """Build a jitted sharded train step for the inverse-rendering fit.
+
+    Loss: mean squared error between rendered radiance and target pixels,
+    rays sharded over the mesh; voxel-parameter grads psum'ed across shards
+    inside the shard_map (overlappable with remaining backward work by XLA).
+    """
+
+    def local_loss(params, masks, child_base, leaf_base, o_s, d_s,
+                   light_dir, target_s, n_total):
+        img = diff.render_diff(
+            params["albedo"], params["normal"], params["density"],
+            masks, child_base, leaf_base, o_s, d_s, depth, light_dir)
+        # sum (not mean) so psum over shards + /n_total == global mean
+        return jnp.sum((img - target_s) ** 2) / n_total
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(),
+                  P(RAY_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def _loss_grads(params, masks, child_base, leaf_base, o_s, d_s,
+                    light_dir, target_s):
+        n_total = target_s.size * jax.lax.psum(1, RAY_AXIS)
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, masks, child_base, leaf_base, o_s, d_s, light_dir,
+            target_s, n_total)
+        # gradient all-reduce over the ray mesh (ICI collective)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, RAY_AXIS), grads)
+        loss = jax.lax.psum(loss, RAY_AXIS)
+        return loss, grads
+
+    @jax.jit
+    def train_step(params, opt_state, masks, child_base, leaf_base,
+                   o, d, light_dir, target):
+        loss, grads = _loss_grads(params, masks, child_base, leaf_base,
+                                  o, d, light_dir, target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
