@@ -98,12 +98,18 @@ class SVO:
 
 @dataclasses.dataclass
 class BuildResult:
-    """Builder output: the SVO plus host-side debris useful for tests/IO."""
+    """Builder output: the SVO plus host-side debris useful for tests/IO.
+
+    frontier_coords is the finest-level *candidate* set (post Lipschitz
+    pruning, pre leaf test) — the slice pipeline (stream/slices.py) refines
+    it so an incremental extend reproduces a fresh deeper build exactly.
+    """
 
     svo: SVO
     leaf_coords: np.ndarray  # int32 [n_leaves, 3] finest-grid integer coords
     node_coords: list        # per level: int32 [n_l, 3] octant coords
     n_candidates: list       # per level candidate counts (pre-prune), for stats
+    frontier_coords: np.ndarray = None  # int32 [n_cand, 3] finest candidates
 
 
 def default_albedo(px, py, pz, xp=np):
@@ -285,4 +291,5 @@ def build_svo(scene, depth: int, prune: bool = True) -> BuildResult:
         leaf_coords=leaf_cc.astype(np.int32),
         node_coords=node_coords,
         n_candidates=n_candidates,
+        frontier_coords=cc.astype(np.int32),
     )

@@ -84,7 +84,7 @@ class TraceResult(NamedTuple):
     iters: object      # i32 (N,)
 
 
-def init_state(origin, direction, depth, xp):
+def init_state(origin, direction, depth, xp, root=None):
     """Vectorized traversal init (mirroring + cube entry), octree-local coords
     in [0,1]^3 mapped to the [1,2]^3 traversal cube (NVIDIASVO.compute:15-38)."""
     f32, i32 = xp.float32, xp.int32
@@ -118,10 +118,14 @@ def init_state(origin, direction, depth, xp):
     pos = xp.where(upper, f32(1.5), f32(1.0))
 
     S = depth
+    if root is None:
+        parent0 = xp.zeros(n, i32)
+    else:
+        parent0 = xp.broadcast_to(xp.asarray(root, i32), (n,))
     return TraceState(
         pos=pos,
         idx=idx,
-        parent=xp.zeros(n, i32),
+        parent=parent0,
         scale=xp.full(n, S_MAX - 1, i32),
         scale_exp2=xp.full(n, 0.5, f32),
         t_min=t_min.astype(f32),
@@ -283,12 +287,13 @@ def max_iters_for_depth(depth: int) -> int:
     return 16 * depth + 48
 
 
-def trace_numpy(svo, origin, direction) -> TraceResult:
+def trace_numpy(svo, origin, direction, root=None) -> TraceResult:
     """Numpy driver: python loop until every lane is done."""
     masks = np.asarray(svo.masks)
     child_base = np.asarray(svo.child_base)
     leaf_base = np.asarray(svo.leaf_base)
-    st = init_state(np.asarray(origin), np.asarray(direction), svo.depth, np)
+    st = init_state(np.asarray(origin), np.asarray(direction), svo.depth, np,
+                    root=root)
     for _ in range(max_iters_for_depth(svo.depth)):
         if bool(np.all(st.done)):
             break
@@ -297,8 +302,9 @@ def trace_numpy(svo, origin, direction) -> TraceResult:
 
 
 @partial(jax.jit, static_argnames=("depth",))
-def _trace_jax(masks, child_base, leaf_base, origin, direction, depth):
-    st = init_state(origin, direction, depth, jnp)
+def _trace_jax(masks, child_base, leaf_base, origin, direction, depth,
+               root=None):
+    st = init_state(origin, direction, depth, jnp, root=root)
     n_max = max_iters_for_depth(depth)
 
     def cond(carry):

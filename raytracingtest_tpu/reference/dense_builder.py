@@ -121,7 +121,17 @@ def dense_build(scene, depth: int) -> BuildResult:
         depth=depth,
         level_start=tuple(int(v) for v in level_start),
     )
+    gx, gy, gz = np.meshgrid(np.arange(R), np.arange(R), np.arange(R),
+                             indexing="ij")
+    from raytracingtest_tpu.ops.morton import morton_encode
+    codes = morton_encode(gx.ravel().astype(np.uint32),
+                          gy.ravel().astype(np.uint32),
+                          gz.ravel().astype(np.uint32))
+    order = np.argsort(codes)
+    frontier = np.stack([gx.ravel()[order], gy.ravel()[order],
+                         gz.ravel()[order]], axis=1).astype(np.int32)
     return BuildResult(
         svo=svo, leaf_coords=leaf_cc, node_coords=node_coords,
         n_candidates=[8 ** l for l in range(depth + 1)],
+        frontier_coords=frontier,
     )

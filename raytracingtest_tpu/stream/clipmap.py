@@ -1,0 +1,316 @@
+"""Clipmap streaming: camera-centered LOD rings of chunk SVOs in a device
+arena, stitched under a trunk SVO and traced in two phases.
+
+Reference parity (SURVEY.md §2.5, §3.4):
+
+  * Arena == the preallocated GPU buffers with offset uploads
+    (RaytracingMaster.cs:111-135: one 512 MiB descriptor arena, chunk blocks
+    written at fixed offsets). Here: flat device arrays with a bump/free-list
+    allocator; uploading a chunk rebases its absolute child/leaf pointers by
+    the allocated offsets — offset-patching that the reference does by
+    redirecting leaf pointers at compile time (NaiveCreator.cs:156-158).
+  * Clipmap == Clipmap.cs: per-LOD chunk size minimumChunkSize * 2^lod,
+    camera position snapped to a 2*chunkSize grid (Clipmap.cs:60-68),
+    early-out when the snap is unchanged (:70-76), inner-LOD bounds skipped
+    at coarser levels (:94-96), eviction of chunks not refreshed this update
+    (:104-119,140-151). (The reference's wrapped torus array :98-100 is a
+    GPU-address-space trick; the host-side resident set here is a dict keyed
+    by lod+chunk coords with identical membership semantics.)
+  * trace_clipmap == Clipmap.compute's IntersectClipmap (chunk-offset rays
+    into IntersectSVO, loop-capped, Clipmap.compute:10-25) — but as a
+    vectorized two-phase traversal: phase 1 traces the trunk SVO whose
+    leaves are chunks, phase 2 traces the hit chunk inside the arena with a
+    per-ray root; on a chunk miss the ray advances past the chunk's AABB and
+    re-enters phase 1 (hard-capped like the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from raytracingtest_tpu.ops import traverse
+from raytracingtest_tpu.ops.octree import SVO, build_svo
+from raytracingtest_tpu.scenes import Scene
+from raytracingtest_tpu.stream.chunk_octree import ChunkOctree
+
+
+@dataclasses.dataclass
+class Chunk:
+    """Resident chunk record (parity: Chunk.cs:3-12)."""
+
+    position: np.ndarray   # world low corner
+    size: float
+    lod: int
+    creation_time: int
+    node_offset: int
+    n_nodes: int
+    leaf_offset: int
+    n_leaves: int
+    depth: int
+    level_start: tuple
+
+
+class Arena:
+    """Flat SVO arena: every resident chunk's node/leaf rows live in shared
+    arrays so one traversal kernel serves all chunks (per-ray roots)."""
+
+    def __init__(self, node_capacity: int, leaf_capacity: int):
+        self.node_capacity = node_capacity
+        self.leaf_capacity = leaf_capacity
+        self.masks = np.zeros(node_capacity, np.int32)
+        self.child_base = np.zeros(node_capacity, np.int32)
+        self.leaf_base = np.zeros(node_capacity, np.int32)
+        self.leaf_albedo = np.zeros((leaf_capacity, 3), np.float32)
+        self.leaf_normal = np.zeros((leaf_capacity, 3), np.float32)
+        self.leaf_density = np.zeros(leaf_capacity, np.float32)
+        self._free_nodes = [(0, node_capacity)]
+        self._free_leaves = [(0, leaf_capacity)]
+
+    def _alloc(self, free_list, n):
+        for i, (off, length) in enumerate(free_list):
+            if length >= n:
+                if length == n:
+                    free_list.pop(i)
+                else:
+                    free_list[i] = (off + n, length - n)
+                return off
+        raise MemoryError(f"arena exhausted: need {n}")
+
+    def _free(self, free_list, off, n):
+        free_list.append((off, n))
+        # coalesce adjacent ranges
+        free_list.sort()
+        merged = []
+        for o, l in free_list:
+            if merged and merged[-1][0] + merged[-1][1] == o:
+                merged[-1] = (merged[-1][0], merged[-1][1] + l)
+            else:
+                merged.append((o, l))
+        free_list[:] = merged
+
+    def upload(self, svo: SVO):
+        """Place a chunk SVO into the arena, rebasing its absolute child and
+        leaf pointers by the allocated offsets. Returns (node_off, leaf_off)."""
+        n_nodes = svo.n_nodes
+        n_leaves = svo.n_leaves
+        node_off = self._alloc(self._free_nodes, max(n_nodes, 1))
+        leaf_off = self._alloc(self._free_leaves, max(n_leaves, 1))
+        masks = np.asarray(svo.masks)
+        sl = slice(node_off, node_off + n_nodes)
+        self.masks[sl] = masks
+        self.child_base[sl] = np.where(
+            (masks >> 8) & ~masks & 0xFF, np.asarray(svo.child_base) + node_off, 0)
+        self.leaf_base[sl] = np.where(
+            masks & 0xFF, np.asarray(svo.leaf_base) + leaf_off, 0)
+        ll = slice(leaf_off, leaf_off + n_leaves)
+        self.leaf_albedo[ll] = np.asarray(svo.leaf_albedo)
+        self.leaf_normal[ll] = np.asarray(svo.leaf_normal)
+        self.leaf_density[ll] = np.asarray(svo.leaf_density)
+        return node_off, leaf_off
+
+    def free(self, chunk: Chunk):
+        self._free(self._free_nodes, chunk.node_offset, max(chunk.n_nodes, 1))
+        self._free(self._free_leaves, chunk.leaf_offset, max(chunk.n_leaves, 1))
+
+    @property
+    def nodes_used(self):
+        return self.node_capacity - sum(l for _, l in self._free_nodes)
+
+
+def _chunk_scene(world_scene: Scene, origin, size) -> Scene:
+    """Restrict a world scene to a chunk AABB in chunk-local [0,1]^3 coords.
+    Density is rescaled by 1/size so SDF-like Lipschitz bounds carry over."""
+    ox, oy, oz = (float(v) for v in origin)
+    s = float(size)
+
+    def fn(x, y, z, xp):
+        return world_scene.fn(
+            xp.asarray(x) * s + ox, xp.asarray(y) * s + oy,
+            xp.asarray(z) * s + oz, xp) / s
+
+    return Scene(f"{world_scene.name}@{origin}/{size}", fn,
+                 world_scene.lipschitz)
+
+
+class Clipmap:
+    """Camera-centered nested LOD rings of chunks (Clipmap.cs)."""
+
+    def __init__(self, scene: Scene, arena: Arena,
+                 min_chunk_size: float = 0.25, radius: int = 2,
+                 lods: int = 2, chunk_depth: int = 4,
+                 world_origin=(0.0, 0.0, 0.0), world_size: float = 1.0):
+        if lods > 1 and radius % 2:
+            # the finer ring spans 2*radius cells of half the coarse size;
+            # only an even radius aligns it to the coarse lattice so the
+            # inner-bounds skip produces no overlap and no holes (the
+            # reference ships radius=4, Main.unity:244)
+            raise ValueError("radius must be even when lods > 1")
+        self.scene = scene
+        self.arena = arena
+        self.min_chunk_size = min_chunk_size
+        self.radius = radius
+        self.lods = lods
+        self.chunk_depth = chunk_depth
+        self.world_origin = np.asarray(world_origin, np.float64)
+        self.world_size = world_size
+        self.octree = ChunkOctree(origin=world_origin, size=world_size)
+        self.resident: dict = {}
+        self._snapped = [None] * lods
+        self._time = 0
+
+    def update(self, camera_pos) -> dict:
+        """One streaming update (DoChunkUpdate, Clipmap.cs:45-138).
+        Returns stats {added, evicted, resident}."""
+        self._time += 1
+        camera_pos = np.asarray(camera_pos, np.float64)
+        added = 0
+        wanted_any = False
+        for lod in range(self.lods):
+            cs = self.min_chunk_size * (2 ** lod)
+            snap = np.floor(camera_pos / (2 * cs)) * (2 * cs)
+            if self._snapped[lod] is not None and np.all(
+                    snap == self._snapped[lod]):
+                continue  # early-out (Clipmap.cs:70-76)
+            self._snapped[lod] = snap
+            wanted_any = True
+            r = self.radius
+            for ix in range(-r, r):
+                for iy in range(-r, r):
+                    for iz in range(-r, r):
+                        pos = snap + np.array([ix, iy, iz]) * cs
+                        # clamp to world bounds
+                        if np.any(pos < self.world_origin - 1e-9) or np.any(
+                                pos + cs > self.world_origin + self.world_size
+                                + 1e-9):
+                            continue
+                        # skip cells covered by a finer LOD ring
+                        # (inner-bounds skip, Clipmap.cs:94-96)
+                        if lod > 0 and self._inside_finer(pos, cs, lod):
+                            continue
+                        key = (lod, round(pos[0] / cs), round(pos[1] / cs),
+                               round(pos[2] / cs))
+                        if key in self.resident:
+                            self.resident[key].creation_time = self._time
+                            continue
+                        self._add_chunk(key, pos, cs, lod)
+                        added += 1
+        evicted = 0
+        if wanted_any:
+            evicted = self._evict_stale()
+        return {"added": added, "evicted": evicted,
+                "resident": len(self.resident)}
+
+    def _inside_finer(self, pos, cs, lod):
+        for f in range(lod):
+            fcs = self.min_chunk_size * (2 ** f)
+            snap = self._snapped[f]
+            if snap is None:
+                continue
+            lo = snap - self.radius * fcs
+            hi = snap + self.radius * fcs
+            if np.all(pos >= lo - 1e-9) and np.all(pos + cs <= hi + 1e-9):
+                return True
+        return False
+
+    def _add_chunk(self, key, pos, cs, lod):
+        sub = _chunk_scene(self.scene, pos, cs)
+        result = build_svo(sub, self.chunk_depth)
+        node_off, leaf_off = self.arena.upload(result.svo)
+        chunk = Chunk(
+            position=pos.copy(), size=cs, lod=lod, creation_time=self._time,
+            node_offset=node_off, n_nodes=result.svo.n_nodes,
+            leaf_offset=leaf_off, n_leaves=result.svo.n_leaves,
+            depth=result.svo.depth, level_start=result.svo.level_start)
+        self.resident[key] = chunk
+        self.octree.add_chunk(pos, cs, chunk)
+
+    def _evict_stale(self):
+        evicted = 0
+        for key in list(self.resident):
+            chunk = self.resident[key]
+            if chunk.creation_time != self._time:
+                self.octree.remove_chunk(chunk.position, chunk.size)
+                self.arena.free(chunk)
+                del self.resident[key]
+                evicted += 1
+        return evicted
+
+    def master(self):
+        """Compile the trunk SVO + chunk tables for stitched tracing
+        (UpdateMasterOctree, Clipmap.cs:153-169)."""
+        trunk, table = self.octree.extract_trunk()
+        roots = np.array([c.node_offset for _, _, c in table], np.int32)
+        origins = np.array([p for p, _, _ in table], np.float32)
+        sizes = np.array([s for _, s, _ in table], np.float32)
+        return trunk, roots, origins, sizes
+
+
+def trace_clipmap(trunk: SVO, trunk_origin, trunk_size,
+                  chunk_roots, chunk_origins, chunk_sizes, chunk_depth,
+                  arena: Arena, origin, direction, max_chunks: int = 4):
+    """Two-phase stitched traversal (vectorized, numpy).
+
+    Returns (hit_leaf into arena leaf arrays, t_world, hits_chunk id) with
+    -1 leaves on miss."""
+    o = np.asarray(origin, np.float32)
+    d = np.asarray(direction, np.float32)
+    n = o.shape[0]
+    t_off = np.zeros(n, np.float32)
+    done = np.zeros(n, bool)
+    hit_leaf = np.full(n, -1, np.int32)
+    hit_t = np.zeros(n, np.float32)
+    hit_chunk = np.full(n, -1, np.int32)
+    t_org = np.asarray(trunk_origin, np.float32)
+    t_size = np.float32(trunk_size)
+    eps = np.float32(1e-5)
+
+    arena_svo = SVO(
+        masks=arena.masks, child_base=arena.child_base,
+        leaf_base=arena.leaf_base, leaf_albedo=arena.leaf_albedo,
+        leaf_normal=arena.leaf_normal, leaf_density=arena.leaf_density,
+        depth=chunk_depth, level_start=(0,) * (chunk_depth + 1))
+
+    for _ in range(max_chunks):
+        if done.all():
+            break
+        # phase 1: trunk trace from the advanced origin
+        o_cur = o + t_off[:, None] * d
+        o_trunk = (o_cur - t_org[None, :]) / t_size
+        r1 = traverse.trace_numpy(trunk, o_trunk, d)
+        found = (r1.hit_leaf >= 0) & ~done
+        done |= ~found & ~done  # trunk miss -> final miss
+        if not found.any():
+            break
+        cid = np.where(found, r1.hit_leaf, 0)
+        c_org = chunk_origins[cid]
+        c_size = chunk_sizes[cid]
+        roots = chunk_roots[cid]
+
+        # phase 2: chunk-local trace in the arena
+        o_loc = (o_cur - c_org) / c_size[:, None]
+        r2 = traverse.trace_numpy(arena_svo, o_loc, d, root=roots)
+        hit2 = (r2.hit_leaf >= 0) & found
+        new = hit2 & ~ (hit_leaf >= 0)
+        hit_leaf = np.where(new, r2.hit_leaf, hit_leaf)
+        hit_t = np.where(new, t_off + r2.hit_t * c_size, hit_t)
+        hit_chunk = np.where(new, cid, hit_chunk)
+        done |= hit2
+
+        # chunk miss: advance past the chunk AABB and re-enter phase 1
+        adv = found & ~hit2
+        t_exit = _aabb_exit(o_cur, d, c_org, c_size)
+        t_off = np.where(adv, t_off + t_exit + eps, t_off)
+
+    return hit_leaf, hit_t, hit_chunk
+
+
+def _aabb_exit(o, d, box_org, box_size):
+    """t of exiting the AABB [org, org+size], from origins possibly inside."""
+    safe_d = np.where(np.abs(d) < 1e-12, 1e-12, d)
+    t0 = (box_org - o) / safe_d
+    t1 = (box_org + box_size[:, None] - o) / safe_d
+    t_far = np.maximum(t0, t1)
+    return np.maximum(t_far.min(axis=1), 0.0).astype(np.float32)
