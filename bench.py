@@ -22,6 +22,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # fail fast if the TPU tunnel is held by another process (the axon
+    # backend registers at interpreter startup; a late failure would waste
+    # the whole host-side build)
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+
     from raytracingtest_tpu import build_svo, get_scene
     from raytracingtest_tpu import diff
     from raytracingtest_tpu.ops.camera import Camera
@@ -32,9 +37,16 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     mode = os.environ.get("BENCH_MODE", "fwdbwd")
 
+    from raytracingtest_tpu.io import checkpoint as _ckpt
+
+    cache = f"/tmp/bench_svo_{scene}_d{depth}.npz"
     t0 = time.time()
-    built = build_svo(get_scene(scene), depth)
-    svo = built.svo.device()
+    if os.path.exists(cache):
+        svo_host = _ckpt.load_svo(cache)
+    else:
+        svo_host = build_svo(get_scene(scene), depth).svo
+        _ckpt.save_svo(svo_host, cache)
+    svo = svo_host.device()
     build_s = time.time() - t0
     print(
         f"# build: depth={depth} scene={scene} nodes={svo.n_nodes} "
@@ -54,28 +66,35 @@ def main():
     target = jnp.zeros((o.shape[0], 3), jnp.float32)
     n_rays = o.shape[0]
 
+    # each run() ends in a host transfer of a value that depends on every
+    # output — block_until_ready alone is not a reliable fence on the
+    # experimental axon backend
     if mode == "fwd":
-        def run():
+        def run(tag):
             img = diff.render_diff(albedo, normal, density, svo.masks,
                                    svo.child_base, svo.leaf_base, o, d,
-                                   depth, light)
-            return img
+                                   depth, light + tag)
+            return float(jnp.sum(img))
     else:
-        def run():
+        def run(tag):
             loss, grads = diff.loss_and_grads(
                 albedo, normal, density, svo.masks, svo.child_base,
-                svo.leaf_base, o, d, depth, light, target)
-            return loss
+                svo.leaf_base, o, d, depth, light + tag, target)
+            gsum = sum(jnp.sum(jnp.abs(g))
+                       for g in jax.tree_util.tree_leaves(grads))
+            return float(loss + gsum)
 
+    zero = jnp.zeros(3, jnp.float32)
     t0 = time.time()
-    jax.block_until_ready(run())
+    run(zero)
     print(f"# warmup(compile+run): {time.time() - t0:.1f}s on "
           f"{jax.devices()[0]}", file=sys.stderr)
 
     t0 = time.time()
-    for _ in range(iters):
-        out = run()
-    jax.block_until_ready(out)
+    acc = 0.0
+    for i in range(iters):
+        # vary an input epsilon so no layer can serve a cached result
+        acc += run(zero * i)
     dt = (time.time() - t0) / iters
     rays_per_s = n_rays / dt
 
