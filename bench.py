@@ -84,6 +84,16 @@ def main():
                        for g in jax.tree_util.tree_leaves(grads))
             return float(loss + gsum)
 
+    # absorb the remote backend's first-execution handshake on a tiny
+    # program before touching the big one (the handshake cost is wildly
+    # variable and occasionally pathological on large first programs)
+    t0 = time.time()
+    small = diff.render_diff(albedo, normal, density, svo.masks,
+                             svo.child_base, svo.leaf_base, o[:4096],
+                             d[:4096], depth, light)
+    float(jnp.sum(small))
+    print(f"# session warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+
     zero = jnp.zeros(3, jnp.float32)
     t0 = time.time()
     run(zero)

@@ -29,6 +29,15 @@ import numpy as np
 # dense finite-difference sweep in tests.
 NOISE3_LIPSCHITZ = 4.0
 
+
+def _native():
+    """Lazy import of the optional native library (None if unavailable)."""
+    try:
+        from raytracingtest_tpu import native
+        return native if native.available() else None
+    except Exception:
+        return None
+
 # 12 edge-gradient directions of classic Perlin noise.
 _GRAD = np.array(
     [
@@ -47,7 +56,7 @@ def _hash3(ix, iy, iz, seed, xp):
         ix.astype(xp.uint32) * u(0x8DA6B343)
         ^ iy.astype(xp.uint32) * u(0xD8163841)
         ^ iz.astype(xp.uint32) * u(0xCB1AB31F)
-        ^ u(np.uint32(seed)) * u(0x9E3779B9)
+        ^ u((int(seed) * 0x9E3779B9) & 0xFFFFFFFF)
     )
     h = h ^ (h >> u(13))
     h = h * u(0x5BD1E995)
@@ -61,7 +70,19 @@ def _fade(t):
 
 
 def noise3(x, y, z, xp=np, seed=0):
-    """3D gradient noise in roughly [-1, 1]. Shape-preserving, elementwise."""
+    """3D gradient noise in roughly [-1, 1]. Shape-preserving, elementwise.
+
+    Large numpy batches dispatch to the threaded C++ twin in csrc/noise.cpp
+    (bit-identical output; the FastNoiseSIMD role for host-side builds)."""
+    if xp is np and np.size(x) >= 16384:
+        native = _native()
+        if native is not None:
+            shape = np.shape(x)
+            return native.noise3(
+                np.broadcast_to(np.asarray(x, np.float32), shape).ravel(),
+                np.broadcast_to(np.asarray(y, np.float32), shape).ravel(),
+                np.broadcast_to(np.asarray(z, np.float32), shape).ravel(),
+                seed=seed).reshape(shape)
     x = xp.asarray(x, xp.float32)
     y = xp.asarray(y, xp.float32)
     z = xp.asarray(z, xp.float32)

@@ -1,0 +1,82 @@
+"""Native C++ library vs the Python implementations (bit-exact twins)."""
+
+import numpy as np
+import pytest
+
+from raytracingtest_tpu import native
+from raytracingtest_tpu.ops import traverse
+from raytracingtest_tpu.ops.morton import morton_encode64
+from raytracingtest_tpu.ops.octree import build_svo
+from raytracingtest_tpu.scenes import get_scene
+from raytracingtest_tpu.utils import noise
+from tests.test_traverse import random_rays
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built")
+
+
+def test_noise_bit_identical():
+    rng = np.random.default_rng(0)
+    p = (rng.random((5000, 3), dtype=np.float32) * 16.0) - 4.0
+    ref = noise.noise3(p[:, 0], p[:, 1], p[:, 2], xp=np, seed=3)
+    nat = native.noise3(p[:, 0], p[:, 1], p[:, 2], seed=3)
+    np.testing.assert_allclose(ref, nat, rtol=1e-6, atol=1e-7)
+
+
+def test_fbm_matches():
+    rng = np.random.default_rng(1)
+    p = rng.random((2000, 3), dtype=np.float32) * 8.0
+    ref = noise.fbm3(p[:, 0], p[:, 1], p[:, 2], xp=np, seed=5, octaves=3)
+    nat = native.fbm3(p[:, 0], p[:, 1], p[:, 2], seed=5, octaves=3)
+    np.testing.assert_allclose(ref, nat, rtol=1e-5, atol=1e-6)
+
+
+def test_trace_matches_vectorized():
+    svo = build_svo(get_scene("terrain"), 6).svo
+    o, d = random_rays(2000, seed=9)
+    r_py = traverse.trace_numpy(svo, o, d)
+    r_c = native.trace(svo, o, d)
+    np.testing.assert_array_equal(r_py.hit_leaf, r_c.hit_leaf)
+    hit = r_py.hit_leaf >= 0
+    np.testing.assert_allclose(r_py.hit_t[hit], r_c.hit_t[hit], rtol=1e-6)
+    np.testing.assert_array_equal(r_py.hit_parent[hit], r_c.hit_parent[hit])
+    assert hit.sum() > 100
+
+
+def test_trace_with_roots():
+    from raytracingtest_tpu.stream.clipmap import Arena
+    from raytracingtest_tpu.ops.octree import SVO
+
+    res = build_svo(get_scene("sphere"), 4)
+    arena = Arena(node_capacity=10000, leaf_capacity=10000)
+    off_n, off_l = arena.upload(res.svo)
+    arena_svo = SVO(masks=arena.masks, child_base=arena.child_base,
+                    leaf_base=arena.leaf_base, leaf_albedo=arena.leaf_albedo,
+                    leaf_normal=arena.leaf_normal,
+                    leaf_density=arena.leaf_density, depth=4,
+                    level_start=res.svo.level_start)
+    o, d = random_rays(500, seed=2)
+    r_direct = native.trace(res.svo, o, d)
+    r_arena = native.trace(arena_svo, o, d, root=off_n)
+    hit = r_direct.hit_leaf >= 0
+    np.testing.assert_array_equal(
+        r_direct.hit_leaf[hit] + off_l, r_arena.hit_leaf[hit])
+
+
+def test_morton64_matches():
+    rng = np.random.default_rng(4)
+    x, y, z = (rng.integers(0, 1 << 21, 3000).astype(np.uint32)
+               for _ in range(3))
+    np.testing.assert_array_equal(
+        native.morton_encode64(x, y, z), morton_encode64(x, y, z))
+
+
+def test_native_trace_is_fast():
+    import time
+    svo = build_svo(get_scene("terrain"), 7).svo
+    o, d = random_rays(100000, seed=3)
+    t0 = time.time()
+    native.trace(svo, o, d)
+    dt = time.time() - t0
+    # threaded C++ should trace >1 Mrays/s on any host
+    assert 100000 / dt > 1e6, f"{100000/dt:.0f} rays/s"

@@ -188,6 +188,19 @@ def test_jax_matches_numpy_deep():
     )
 
 
+def test_chunked_trace_matches(sphere5, monkeypatch):
+    """The lax.map chunked path (used for big ray batches) must equal the
+    direct path."""
+    monkeypatch.setattr(traverse, "TRACE_CHUNK", 128)
+    svo = sphere5.svo
+    o, d = random_rays(512, seed=29)  # 4 chunks of 128
+    r_np = traverse.trace_numpy(svo, o, d)
+    r_jx = traverse.trace_jax(svo.device(), o, d)
+    np.testing.assert_array_equal(r_np.hit_leaf, np.asarray(r_jx.hit_leaf))
+    np.testing.assert_allclose(r_np.hit_t, np.asarray(r_jx.hit_t),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_hit_rate_sphere(sphere5):
     # rays aimed at the sphere from a shell: nearly all should hit
     svo = sphere5.svo
