@@ -1,0 +1,182 @@
+"""Command-line driver: render / fit / info.
+
+The reference's "drivers" are Unity scenes with keyboard rebuild hooks
+(R = rebuild SVO, RaytracingMaster.cs:50-52; Q = recompile master octree,
+Clipmap.cs:37-42) and Inspector-configured fields. Here:
+
+  python -m raytracingtest_tpu.cli render --scene terrain --depth 8 \
+      --width 512 --height 512 --out out.png
+  python -m raytracingtest_tpu.cli fit --scene sphere --depth 6 \
+      --views 16 --steps 100 --out-dir /tmp/fit
+  python -m raytracingtest_tpu.cli info --scene sphere --depth 6
+
+Builds are cached on disk keyed by (scene, depth) — the rebuild-on-change
+ergonomics of OnValidate without rebuilding for unchanged configs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _load_or_build(scene_name: str, depth: int, cache_dir: str):
+    from raytracingtest_tpu.io import checkpoint as ckpt
+    from raytracingtest_tpu.ops.octree import build_svo
+    from raytracingtest_tpu.scenes import get_scene
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"svo_{scene_name}_d{depth}.npz")
+    if os.path.exists(path):
+        return ckpt.load_svo(path)
+    t0 = time.time()
+    svo = build_svo(get_scene(scene_name), depth).svo
+    print(f"built {scene_name} depth={depth}: {svo.n_nodes} nodes, "
+          f"{svo.n_leaves} leaves in {time.time()-t0:.1f}s", file=sys.stderr)
+    ckpt.save_svo(svo, path)
+    return svo
+
+
+def _save_png(img: np.ndarray, path: str):
+    from PIL import Image
+
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(path)
+    print(f"wrote {path}", file=sys.stderr)
+
+
+def cmd_render(args):
+    from raytracingtest_tpu.config import CameraConfig, RenderConfig
+    from raytracingtest_tpu.models import SurfaceRenderer, VolumetricRenderer
+    from raytracingtest_tpu.utils.profiling import RaysPerSecond
+
+    svo = _load_or_build(args.scene, args.depth, args.cache_dir).device()
+    cam = CameraConfig(
+        position=tuple(args.camera_position),
+        look_at=tuple(args.look_at), fov_y_deg=args.fov,
+        width=args.width, height=args.height,
+        ortho_height=args.ortho_height)
+    rnd = RenderConfig(samples=args.samples, volumetric_k=args.volumetric_k)
+    if args.volumetric_k > 0:
+        model = VolumetricRenderer(svo, k=args.volumetric_k)
+        img = model.render(cam, rnd)
+    else:
+        model = SurfaceRenderer(svo)
+        counter = RaysPerSecond()
+        with counter.frame(args.width * args.height * max(args.samples, 1)):
+            img = model.render_progressive(cam, rnd)
+        print(counter.summary(), file=sys.stderr)
+    _save_png(img, args.out)
+
+
+def cmd_fit(args):
+    """Inverse-rendering fit (BASELINE config 4): recover voxel albedo from
+    posed target images, rays sharded over the local device mesh."""
+    import jax.numpy as jnp
+
+    from raytracingtest_tpu import diff
+    from raytracingtest_tpu.io import checkpoint as ckpt
+    from raytracingtest_tpu.models import InverseRenderer
+    from raytracingtest_tpu.ops.camera import Camera
+
+    svo = _load_or_build(args.scene, args.depth, args.cache_dir).device()
+    light = jnp.asarray([-0.5, -1.0, -0.3], jnp.float32)
+    model = InverseRenderer(svo, optimize=("albedo",),
+                            learning_rate=args.lr)
+
+    # posed views on a circle around the scene
+    rng = np.random.default_rng(args.seed)
+    views = []
+    res = args.view_resolution
+    for v in range(args.views):
+        ang = 2 * np.pi * v / args.views
+        pos = (0.5 + 1.1 * np.cos(ang), 0.6 + 0.25 * rng.random(),
+               0.5 + 1.1 * np.sin(ang))
+        cam = Camera(position=pos, look_at=(0.5, 0.5, 0.5), fov_y_deg=45.0,
+                     width=res, height=res)
+        o, d = cam.rays(np)
+        target = diff.render_diff(
+            jnp.asarray(svo.leaf_albedo), jnp.asarray(svo.leaf_normal),
+            jnp.asarray(svo.leaf_density), svo.masks, svo.child_base,
+            svo.leaf_base, jnp.asarray(o), jnp.asarray(d), svo.depth, light)
+        views.append((o, d, np.asarray(target)))
+    print(f"synthesized {len(views)} posed target views at {res}x{res}",
+          file=sys.stderr)
+
+    params, opt_state = model.init_params(seed=args.seed,
+                                          randomize=("albedo",))
+    t0 = time.time()
+    for step in range(args.steps):
+        o, d, target = views[step % len(views)]
+        o_s, d_s, t_s = model.shard_rays(o, d, target)
+        params, opt_state, loss = model.step(params, opt_state, o_s, d_s,
+                                             light, t_s)
+        if step % max(args.steps // 10, 1) == 0 or step == args.steps - 1:
+            print(f"step {step:5d}  loss {float(loss):.3e}  "
+                  f"({time.time()-t0:.1f}s)", file=sys.stderr)
+    err = float(jnp.abs(params["albedo"]
+                        - jnp.asarray(svo.leaf_albedo)).mean())
+    print(f"final mean |albedo error| = {err:.4f}", file=sys.stderr)
+    os.makedirs(args.out_dir, exist_ok=True)
+    ckpt.save_train_state(os.path.join(args.out_dir, "fit_state.npz"),
+                          params, opt_state, step=args.steps,
+                          meta={"scene": args.scene, "depth": args.depth})
+    print(f"saved {args.out_dir}/fit_state.npz", file=sys.stderr)
+
+
+def cmd_info(args):
+    svo = _load_or_build(args.scene, args.depth, args.cache_dir)
+    print(f"scene={args.scene} depth={svo.depth}")
+    print(f"nodes={svo.n_nodes} leaves={svo.n_leaves}")
+    for l in range(svo.depth):
+        lo, hi = svo.level_start[l], svo.level_start[l + 1]
+        print(f"  level {l:2d}: {hi - lo:9d} nodes")
+    bytes_total = svo.n_nodes * 12 + svo.n_leaves * (12 + 12 + 4)
+    print(f"memory: {bytes_total/1e6:.1f} MB (nodes + fp leaf attributes)")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="raytracingtest_tpu")
+    p.add_argument("--cache-dir", default="/tmp/rtt_cache")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a scene to PNG")
+    pr.add_argument("--scene", default="terrain")
+    pr.add_argument("--depth", type=int, default=8)
+    pr.add_argument("--width", type=int, default=512)
+    pr.add_argument("--height", type=int, default=512)
+    pr.add_argument("--fov", type=float, default=50.0)
+    pr.add_argument("--ortho-height", type=float, default=0.0)
+    pr.add_argument("--camera-position", type=float, nargs=3,
+                    default=[0.5, 0.85, -0.6])
+    pr.add_argument("--look-at", type=float, nargs=3, default=[0.5, 0.4, 0.5])
+    pr.add_argument("--samples", type=int, default=1)
+    pr.add_argument("--volumetric-k", type=int, default=0)
+    pr.add_argument("--out", default="render.png")
+    pr.set_defaults(fn=cmd_render)
+
+    pf = sub.add_parser("fit", help="inverse-rendering fit of voxel albedo")
+    pf.add_argument("--scene", default="sphere")
+    pf.add_argument("--depth", type=int, default=6)
+    pf.add_argument("--views", type=int, default=32)
+    pf.add_argument("--view-resolution", type=int, default=128)
+    pf.add_argument("--steps", type=int, default=200)
+    pf.add_argument("--lr", type=float, default=5e-2)
+    pf.add_argument("--seed", type=int, default=0)
+    pf.add_argument("--out-dir", default="/tmp/rtt_fit")
+    pf.set_defaults(fn=cmd_fit)
+
+    pi = sub.add_parser("info", help="print SVO statistics")
+    pi.add_argument("--scene", default="terrain")
+    pi.add_argument("--depth", type=int, default=8)
+    pi.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

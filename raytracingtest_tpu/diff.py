@@ -127,3 +127,61 @@ loss_and_grads = jax.jit(
     jax.value_and_grad(l2_loss, argnums=(0, 1, 2)),
     static_argnames=("depth",),
 )
+
+
+# ---------------------------------------------------------------------------
+# volumetric (multi-hit) rendering: density gradients along the ray
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("depth", "k"))
+def render_volumetric(albedo, normal, density, masks, child_base, leaf_base,
+                      o, d, depth, light_dir, k=4,
+                      light_intensity=1.3, light_ambient=0.08,
+                      density_scale=64.0):
+    """Differentiable emission-absorption rendering over the first k leaf
+    segments of each ray (Plenoxels-style alpha compositing; the
+    extension beyond the reference's hard-surface model required by the
+    north star's albedo/density wording, SURVEY.md §7.3.5).
+
+    Per segment i: alpha_i = 1 - exp(-softplus(density) * len_i * scale);
+    radiance = sum_i T_i alpha_i c_i + T_final * sky, with c_i the
+    Lambert-shaded voxel color. Gradients flow to albedo, normal and density
+    through the same sorted segment-sum VJP."""
+    res = traverse._trace_multi_jax(masks, child_base, leaf_base, o, d,
+                                    depth, k)
+    hit_leaf = jax.lax.stop_gradient(res.hit_leaf)      # (N, k)
+    t_in = jax.lax.stop_gradient(res.t_in)
+    t_out = jax.lax.stop_gradient(res.t_out)
+
+    n = o.shape[0]
+    valid = hit_leaf >= 0
+    safe = jnp.where(valid, hit_leaf, 0).reshape(-1)
+    alb, nrm, den = gather_voxel_params(albedo, normal, density, safe)
+    alb = alb.reshape(n, k, 3)
+    nrm = nrm.reshape(n, k, 3)
+    den = den.reshape(n, k)
+
+    ldir = light_dir / jnp.sqrt(jnp.sum(light_dir * light_dir))
+    nn = nrm / jnp.sqrt(jnp.maximum(jnp.sum(nrm * nrm, -1, keepdims=True),
+                                    1e-12))
+    ndotl = jnp.maximum(jnp.sum(nn * (-ldir)[None, None, :], axis=-1), 0.0)
+    color = alb * (ndotl * light_intensity + light_ambient)[..., None]
+
+    seg_len = jnp.maximum(t_out - t_in, 0.0)
+    sigma = jax.nn.softplus(den) * density_scale
+    alpha = (1.0 - jnp.exp(-sigma * seg_len)) * valid
+    # transmittance before each segment
+    trans = jnp.cumprod(1.0 - alpha + 1e-9, axis=1)
+    t_before = jnp.concatenate(
+        [jnp.ones((n, 1), jnp.float32), trans[:, :-1]], axis=1)
+    weights = t_before * alpha
+    sky = sky_color(d, jnp)
+    t_final = t_before[:, -1] * (1.0 - alpha[:, -1])
+    return jnp.sum(weights[..., None] * color, axis=1) + t_final[:, None] * sky
+
+
+def volumetric_l2_loss(albedo, normal, density, masks, child_base, leaf_base,
+                       o, d, depth, light_dir, target, k=4):
+    img = render_volumetric(albedo, normal, density, masks, child_base,
+                            leaf_base, o, d, depth, light_dir, k=k)
+    return jnp.mean((img - target) ** 2)

@@ -1,0 +1,138 @@
+"""Model-level API: the framework's "model families".
+
+Three renderer models over the same packed SVO representation:
+
+  * SurfaceRenderer    — hard-surface Lambert megakernel path
+                         (the reference's RaytraceCompute pipeline)
+  * VolumetricRenderer — k-segment emission-absorption path with density
+                         (north-star extension; Plenoxels-style)
+  * InverseRenderer    — the trainable model: voxel parameter pytree +
+                         optax optimizer + sharded train step
+                         (BASELINE config 4 fit)
+
+Each wraps the functional ops (ops/, diff.py, parallel/) behind a compact
+object API for drivers; everything stateful is an explicit pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from raytracingtest_tpu import diff
+from raytracingtest_tpu.config import CameraConfig, RenderConfig
+from raytracingtest_tpu.ops.camera import Camera, OctreeFrame
+from raytracingtest_tpu.ops.octree import SVO
+from raytracingtest_tpu.parallel.mesh import make_mesh, ray_sharding
+from raytracingtest_tpu.parallel.render_sharded import make_train_step
+
+
+def _camera(cfg: CameraConfig) -> Camera:
+    return Camera(position=cfg.position, look_at=cfg.look_at, up=cfg.up,
+                  fov_y_deg=cfg.fov_y_deg, ortho_height=cfg.ortho_height,
+                  width=cfg.width, height=cfg.height)
+
+
+@dataclasses.dataclass
+class SurfaceRenderer:
+    svo: SVO
+
+    def render(self, camera_cfg: CameraConfig, render_cfg: RenderConfig,
+               jitter=None) -> np.ndarray:
+        cam = _camera(camera_cfg)
+        o, d = cam.rays(np, jitter=jitter)
+        light = jnp.asarray(render_cfg.light_direction, jnp.float32)
+        img = diff.render_diff(
+            jnp.asarray(self.svo.leaf_albedo),
+            jnp.asarray(self.svo.leaf_normal),
+            jnp.asarray(self.svo.leaf_density),
+            self.svo.masks, self.svo.child_base, self.svo.leaf_base,
+            jnp.asarray(o), jnp.asarray(d), self.svo.depth, light,
+            render_cfg.light_intensity, render_cfg.light_ambient)
+        return np.asarray(img).reshape(camera_cfg.height, camera_cfg.width, 3)
+
+    def render_progressive(self, camera_cfg: CameraConfig,
+                           render_cfg: RenderConfig, seed=0) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        acc = None
+        for s in range(max(render_cfg.samples, 1)):
+            img = self.render(camera_cfg, render_cfg,
+                              jitter=rng.random(2, dtype=np.float32))
+            acc = img if acc is None else acc + (img - acc) / (s + 1)
+        return acc
+
+
+@dataclasses.dataclass
+class VolumetricRenderer:
+    svo: SVO
+    k: int = 4
+    density_scale: float = 64.0
+
+    def render(self, camera_cfg: CameraConfig, render_cfg: RenderConfig,
+               jitter=None) -> np.ndarray:
+        cam = _camera(camera_cfg)
+        o, d = cam.rays(np, jitter=jitter)
+        light = jnp.asarray(render_cfg.light_direction, jnp.float32)
+        img = diff.render_volumetric(
+            jnp.asarray(self.svo.leaf_albedo),
+            jnp.asarray(self.svo.leaf_normal),
+            jnp.asarray(self.svo.leaf_density),
+            self.svo.masks, self.svo.child_base, self.svo.leaf_base,
+            jnp.asarray(o), jnp.asarray(d), self.svo.depth, light,
+            k=self.k, light_intensity=render_cfg.light_intensity,
+            light_ambient=render_cfg.light_ambient,
+            density_scale=self.density_scale)
+        return np.asarray(img).reshape(camera_cfg.height, camera_cfg.width, 3)
+
+
+@dataclasses.dataclass
+class InverseRenderer:
+    """Trainable voxel-parameter model with a sharded train step."""
+
+    svo: SVO
+    optimize: tuple = ("albedo",)
+    learning_rate: float = 5e-2
+    n_devices: Optional[int] = None
+
+    def __post_init__(self):
+        self.mesh = make_mesh(self.n_devices)
+        labels = {
+            "albedo": "train" if "albedo" in self.optimize else "freeze",
+            "normal": "train" if "normal" in self.optimize else "freeze",
+            "density": "train" if "density" in self.optimize else "freeze",
+        }
+        self.optimizer = optax.multi_transform(
+            {"train": optax.adam(self.learning_rate),
+             "freeze": optax.set_to_zero()}, labels)
+        self._step = make_train_step(self.mesh, self.svo.depth, self.optimizer)
+
+    def init_params(self, seed: int = 0, randomize=("albedo",)):
+        rng = np.random.default_rng(seed)
+        params = {
+            "albedo": jnp.asarray(self.svo.leaf_albedo),
+            "normal": jnp.asarray(self.svo.leaf_normal),
+            "density": jnp.asarray(self.svo.leaf_density),
+        }
+        for name in randomize:
+            params[name] = jnp.asarray(
+                rng.random(params[name].shape, dtype=np.float32))
+        return params, self.optimizer.init(params)
+
+    def shard_rays(self, o, d, target=None):
+        sh = ray_sharding(self.mesh)
+        o = jax.device_put(jnp.asarray(o), sh)
+        d = jax.device_put(jnp.asarray(d), sh)
+        if target is None:
+            return o, d
+        return o, d, jax.device_put(jnp.asarray(target), sh)
+
+    def step(self, params, opt_state, o, d, light, target):
+        return self._step(params, opt_state, self.svo.masks,
+                          self.svo.child_base, self.svo.leaf_base, o, d,
+                          light, target)

@@ -500,3 +500,190 @@ def trace_jax(svo, origin, direction) -> TraceResult:
         direction,
         svo.depth,
     )
+
+
+class MultiTraceResult(NamedTuple):
+    """Up to K ordered leaf intersections per ray (for volumetric
+    rendering / the reference Trace()'s all-hits list, CompactSVO.cs:92-94)."""
+
+    hit_leaf: object  # i32 (N, K) leaf rows in t-order, -1 padded
+    t_in: object      # f32 (N, K) segment entry t
+    t_out: object     # f32 (N, K) segment exit t
+    count: object     # i32 (N,)
+    iters: object     # i32 (N,)
+
+
+@partial(jax.jit, static_argnames=("depth", "k"))
+def _trace_multi_jax(masks, child_base, leaf_base, origin, direction, depth,
+                     k, root=None):
+    n = origin.shape[0]
+    if n > TRACE_CHUNK and n % TRACE_CHUNK == 0:
+        g = n // TRACE_CHUNK
+        o_c = origin.reshape(g, TRACE_CHUNK, 3)
+        d_c = direction.reshape(g, TRACE_CHUNK, 3)
+        res = jax.lax.map(
+            lambda od: _trace_multi_core(masks, child_base, leaf_base,
+                                         od[0], od[1], depth, k, None),
+            (o_c, d_c))
+        return MultiTraceResult(
+            res.hit_leaf.reshape(n, k), res.t_in.reshape(n, k),
+            res.t_out.reshape(n, k), res.count.reshape(n),
+            res.iters.reshape(n))
+    return _trace_multi_core(masks, child_base, leaf_base, origin, direction,
+                             depth, k, root)
+
+
+def _trace_multi_core(masks, child_base, leaf_base, origin, direction, depth,
+                      k, root=None):
+    """K-hit traversal: like _trace_core but a leaf hit records a segment
+    (leaf, t_in, t_out) into its slot and the ray continues via ADVANCE
+    (the scalar oracle's collect_all mode, reference/traverse.py)."""
+    f32, i32 = jnp.float32, jnp.int32
+    s0 = S_MAX - depth
+    nodes_packed = jnp.stack([masks, child_base], axis=1)
+    st0 = init_state(origin, direction, depth, jnp, root=root)
+    n = origin.shape[0]
+    st = dict(
+        pos=st0.pos, idx=st0.idx, parent=st0.parent, scale=st0.scale,
+        scale_exp2=st0.scale_exp2, t_min=st0.t_min, t_max=st0.t_max,
+        h=st0.h, octant_mask=st0.octant_mask, t_coef=st0.t_coef,
+        t_bias=st0.t_bias, done=st0.done,
+        stack_node=st0.stack_node, stack_tmax=st0.stack_tmax, iters=st0.iters,
+        hits_leaf=jnp.full((k, n), -1, i32),
+        hits_tin=jnp.zeros((k, n), f32),
+        hits_tout=jnp.zeros((k, n), f32),
+        count=jnp.zeros(n, i32),
+    )
+    stack_iota = jax.lax.broadcasted_iota(jnp.int32, (depth, n), 0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (k, n), 0)
+    # allow extra iterations for pass-through rays
+    n_max = max_iters_for_depth(depth) + 8 * k
+
+    def cond(carry):
+        i, st = carry
+        return (i < n_max) & jnp.any(~st["done"])
+
+    def body(carry):
+        i, st = carry
+        active = ~st["done"]
+
+        nd = jnp.take(nodes_packed, st["parent"], axis=0)
+        desc = nd[:, 0]
+        cbase = nd[:, 1]
+        vm = (desc >> 8) & 0xFF
+        lm = desc & 0xFF
+
+        pos = st["pos"]
+        t_corner = pos * st["t_coef"] - st["t_bias"]
+        tc_max = jnp.min(t_corner, axis=1)
+
+        child_shift = st["idx"] ^ st["octant_mask"] ^ 7
+        child_valid = ((vm >> child_shift) & 1) != 0
+        can = child_valid & (st["t_min"] <= st["t_max"]) & active
+
+        tv_max = jnp.minimum(st["t_max"], tc_max)
+        half = st["scale_exp2"] * f32(0.5)
+        t_center = half[:, None] * st["t_coef"] + t_corner
+        enter = can & (st["t_min"] <= tv_max)
+        below = (jnp.int32(1) << child_shift) - 1
+        leaf_bit = ((lm >> child_shift) & 1) != 0
+
+        # ---- record hit segment into slot `count`, keep going ----
+        hit_now = enter & leaf_bit
+        leaf_rank = popc8(vm & lm & below, jnp)
+        leaf_id = jnp.take(leaf_base, st["parent"]) + leaf_rank
+        sel_k = (k_iota == st["count"][None]) & hit_now[None]
+        hits_leaf = jnp.where(sel_k, leaf_id[None], st["hits_leaf"])
+        hits_tin = jnp.where(sel_k, st["t_min"][None], st["hits_tin"])
+        hits_tout = jnp.where(sel_k, tv_max[None], st["hits_tout"])
+        count = st["count"] + hit_now.astype(i32)
+        done = st["done"] | (count >= k)
+
+        # ---- PUSH (only for non-leaf entries) ----
+        push = enter & ~leaf_bit
+        slot = jnp.clip(st["scale"] - s0, 0, depth - 1)
+        write = push & (tc_max < st["h"])
+        sel_w = (stack_iota == slot[None]) & write[None]
+        stack_node = jnp.where(sel_w, st["parent"][None], st["stack_node"])
+        stack_tmax = jnp.where(sel_w, st["t_max"][None], st["stack_tmax"])
+        h = jnp.where(push, tc_max, st["h"])
+
+        node_rank = popc8(vm & ~lm & below, jnp)
+        parent = jnp.where(push, cbase + node_rank, st["parent"])
+
+        upper = t_center > st["t_min"][:, None]
+        bit = jnp.asarray([1, 2, 4], i32)
+        idx_descend = jnp.sum(jnp.where(upper, bit[None, :], 0), axis=1,
+                              dtype=i32)
+        pos_descend = pos + jnp.where(upper, half[:, None], f32(0.0))
+
+        idx = jnp.where(push, idx_descend, st["idx"])
+        pos = jnp.where(push[:, None], pos_descend, pos)
+        scale = jnp.where(push, st["scale"] - 1, st["scale"])
+        scale_exp2 = jnp.where(push, half, st["scale_exp2"])
+        t_max = jnp.where(push, tv_max, st["t_max"])
+
+        # ---- ADVANCE (hit rays advance too, unless they just filled up) --
+        adv = active & ~push & ~(count >= k)
+        step_bits = t_corner <= tc_max[:, None]
+        step_mask = jnp.sum(jnp.where(step_bits, bit[None, :], 0), axis=1,
+                            dtype=i32)
+        pos = pos - jnp.where(step_bits & adv[:, None], scale_exp2[:, None],
+                              f32(0.0))
+        t_min = jnp.where(adv, jnp.maximum(st["t_min"], tc_max), st["t_min"])
+        idx_adv = jnp.where(adv, idx ^ step_mask, idx)
+
+        # ---- POP ----
+        pop = adv & ((idx_adv & step_mask) != 0)
+        xor_bits = _f2i(pos, jnp) ^ _f2i(pos + scale_exp2[:, None], jnp)
+        differing = jnp.sum(jnp.where(step_bits, xor_bits, 0), axis=1,
+                            dtype=i32) | 1
+        new_scale = (_f2i(differing.astype(f32), jnp) >> 23) - 127
+        oob = pop & ((new_scale >= S_MAX) | (new_scale < s0))
+        pop_ok = pop & ~oob
+        done = done | oob
+
+        scale = jnp.where(pop_ok, new_scale, scale)
+        scale_exp2 = jnp.where(
+            pop_ok,
+            _i2f((jnp.clip(new_scale, s0, S_MAX - 1) - S_MAX + 127) << 23,
+                 jnp), scale_exp2)
+        slot2 = jnp.clip(scale - s0, 0, depth - 1)
+        sel_r = stack_iota == slot2[None]
+        parent = jnp.where(
+            pop_ok, jnp.sum(jnp.where(sel_r, stack_node, 0), axis=0), parent)
+        t_max = jnp.where(
+            pop_ok, jnp.sum(jnp.where(sel_r, stack_tmax, f32(0.0)), axis=0),
+            t_max)
+
+        shift = jnp.clip(scale, 0, 31)
+        sh = _f2i(pos, jnp) >> shift[:, None]
+        pos = jnp.where(pop_ok[:, None], _i2f(sh << shift[:, None], jnp), pos)
+        idx = jnp.where(
+            pop_ok,
+            (sh[:, 0] & 1) | ((sh[:, 1] & 1) << 1) | ((sh[:, 2] & 1) << 2),
+            idx_adv)
+        h = jnp.where(pop_ok, f32(0.0), h)
+
+        st = dict(
+            pos=pos, idx=idx, parent=parent, scale=scale,
+            scale_exp2=scale_exp2, t_min=t_min, t_max=t_max, h=h,
+            octant_mask=st["octant_mask"], t_coef=st["t_coef"],
+            t_bias=st["t_bias"], done=done, stack_node=stack_node,
+            stack_tmax=stack_tmax, iters=st["iters"] + active.astype(i32),
+            hits_leaf=hits_leaf, hits_tin=hits_tin, hits_tout=hits_tout,
+            count=count,
+        )
+        return i + 1, st
+
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+    return MultiTraceResult(
+        st["hits_leaf"].T, st["hits_tin"].T, st["hits_tout"].T, st["count"],
+        st["iters"])
+
+
+def trace_multi_jax(svo, origin, direction, k=4) -> MultiTraceResult:
+    return _trace_multi_jax(
+        jnp.asarray(svo.masks), jnp.asarray(svo.child_base),
+        jnp.asarray(svo.leaf_base), jnp.asarray(origin, jnp.float32),
+        jnp.asarray(direction, jnp.float32), svo.depth, k)

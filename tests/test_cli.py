@@ -1,0 +1,85 @@
+"""CLI driver, config round-trip, model API, profiling utils."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from raytracingtest_tpu.cli import main
+from raytracingtest_tpu.config import Config, SceneConfig
+from raytracingtest_tpu.utils.profiling import (
+    RaysPerSecond, iter_stats, traversal_roofline,
+)
+
+
+def test_cli_info(tmp_path, capsys):
+    main(["--cache-dir", str(tmp_path), "info", "--scene", "sphere",
+          "--depth", "4"])
+    out = capsys.readouterr().out
+    assert "nodes=" in out and "level  3" in out
+
+
+def test_cli_render_png(tmp_path):
+    out = str(tmp_path / "r.png")
+    main(["--cache-dir", str(tmp_path), "render", "--scene", "sphere",
+          "--depth", "4", "--width", "32", "--height", "32", "--out", out])
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape == (32, 32, 3)
+    assert img.std() > 1.0  # not a constant image
+
+
+def test_cli_render_volumetric(tmp_path):
+    out = str(tmp_path / "v.png")
+    main(["--cache-dir", str(tmp_path), "render", "--scene", "sphere",
+          "--depth", "4", "--width", "32", "--height", "32",
+          "--volumetric-k", "2", "--out", out])
+    assert os.path.exists(out)
+
+
+def test_cli_fit_recovers_albedo(tmp_path, capsys):
+    main(["--cache-dir", str(tmp_path), "fit", "--scene", "sphere",
+          "--depth", "3", "--views", "4", "--view-resolution", "32",
+          "--steps", "40", "--out-dir", str(tmp_path / "fit")])
+    err = capsys.readouterr().err
+    assert "final mean |albedo error|" in err
+    assert os.path.exists(tmp_path / "fit" / "fit_state.npz")
+
+
+def test_cli_build_cache_reused(tmp_path, capsys):
+    main(["--cache-dir", str(tmp_path), "info", "--scene", "sphere",
+          "--depth", "3"])
+    err1 = capsys.readouterr().err
+    assert "built sphere" in err1
+    main(["--cache-dir", str(tmp_path), "info", "--scene", "sphere",
+          "--depth", "3"])
+    err2 = capsys.readouterr().err
+    assert "built sphere" not in err2  # cache hit
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = Config(scene=SceneConfig(scene="sphere", depth=6))
+    p = str(tmp_path / "cfg.json")
+    cfg.to_json(p)
+    cfg2 = Config.from_json(p)
+    assert cfg2 == cfg
+
+
+def test_rays_per_second_counter():
+    import time
+
+    c = RaysPerSecond()
+    with c.frame(1000):
+        time.sleep(0.01)
+    assert c.frames == 1
+    assert 0 < c.rays_per_s < 1000 / 0.01 * 2
+    assert "Mrays/s" in c.summary()
+
+
+def test_roofline_and_iter_stats():
+    r = traversal_roofline(1 << 20, 10, 60.0)
+    assert r["rays_per_s_ceiling"] > 1e8  # the hardware bound is far above us
+    s = iter_stats(np.array([10, 20, 30, 100]))
+    assert s["max"] == 100 and s["p50"] <= s["p99"]
