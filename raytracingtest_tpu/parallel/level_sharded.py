@@ -1,0 +1,325 @@
+"""Level-sharded octree: trees too large for one chip's HBM.
+
+Design (SURVEY.md §2.8 / §7.3.7): the top levels (0..split_level) are
+replicated as a *trunk* whose leaves are the occupied octants at the split
+level; every such octant's complete subtree (nodes + leaf attributes) is an
+independent sub-SVO owned by exactly one device (round-robin). Because the
+breadth-first layout stores every subtree as one contiguous row interval per
+level, extraction is pure slicing + pointer rebasing — no tree walk.
+
+Tracing runs under shard_map with rays REPLICATED and content sharded:
+each device phase-1 traces the replicated trunk, phase-2 traces only the
+rays whose hit octant it owns (per-ray roots into its local arena), and a
+psum combines per-ray radiance/results (exactly one owner records each
+hit). Rays that pass through an octant without hitting advance past its
+AABB and re-enter phase 1, bounded like the reference's chunk loop
+(Clipmap.compute:10-25). Voxel parameters are sharded with their subtrees,
+so fit gradients stay device-local (no cross-shard scatter) and only the
+scalar loss is psum'ed.
+
+This trades compute replication (every device runs every phase-1 trace) for
+zero cross-device pointer chasing — the right trade when the tree, not the
+ray batch, is what exceeds HBM. The alternative (ray exchange via
+all_to_all) is the round-2 optimization.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from raytracingtest_tpu.ops import traverse
+from raytracingtest_tpu.ops.octree import SVO
+from raytracingtest_tpu.parallel.mesh import RAY_AXIS
+
+
+def extract_subtree(svo: SVO, level: int, index_in_level: int) -> SVO:
+    """Extract the standalone sub-SVO rooted at the index_in_level-th node
+    of `level` (contiguous-interval slicing; pointers rebased to local)."""
+    masks = np.asarray(svo.masks)
+    child_base = np.asarray(svo.child_base)
+    leaf_base = np.asarray(svo.leaf_base)
+
+    # per-level [lo, hi) node intervals of the subtree
+    row = svo.level_start[level] + index_in_level
+    intervals = [(row, row + 1)]
+    for l in range(level, svo.depth - 1):
+        lo, hi = intervals[-1]
+        if hi == lo:
+            intervals.append((0, 0))
+            continue
+        vm = (masks[lo:hi] >> 8) & 0xFF
+        lm = masks[lo:hi] & 0xFF
+        nonleaf = vm & ~lm
+        nz = np.nonzero(nonleaf)[0]
+        if nz.size == 0:
+            intervals.append((0, 0))
+            continue
+        first = child_base[lo + nz[0]]
+        last_row = lo + nz[-1]
+        last = child_base[last_row] + int(
+            bin(int(nonleaf[nz[-1]])).count("1"))
+        intervals.append((int(first), int(last)))
+
+    # leaf interval: scan bottom-most nonempty interval rows' leaf bases
+    leaf_lo, leaf_hi = None, None
+    for (lo, hi) in intervals:
+        if hi == lo:
+            continue
+        lm = masks[lo:hi] & 0xFF
+        nz = np.nonzero(lm)[0]
+        if nz.size == 0:
+            continue
+        first = int(leaf_base[lo + nz[0]])
+        last = int(leaf_base[lo + nz[-1]]) + int(
+            bin(int(lm[nz[-1]])).count("1"))
+        leaf_lo = first if leaf_lo is None else min(leaf_lo, first)
+        leaf_hi = last if leaf_hi is None else max(leaf_hi, last)
+    if leaf_lo is None:
+        leaf_lo = leaf_hi = 0
+
+    new_level_start = [0]
+    out_masks, out_child, out_leaf = [], [], []
+    offset = 0
+    starts = {}
+    for li, (lo, hi) in enumerate(intervals):
+        starts[li] = offset
+        offset += hi - lo
+        new_level_start.append(offset)
+    for li, (lo, hi) in enumerate(intervals):
+        m = masks[lo:hi]
+        out_masks.append(m)
+        if li + 1 < len(intervals):
+            nlo = intervals[li + 1][0]
+            out_child.append(
+                np.where((m >> 8) & ~m & 0xFF,
+                         child_base[lo:hi] - nlo + starts[li + 1], 0)
+                .astype(np.int32))
+        else:
+            out_child.append(np.zeros(hi - lo, np.int32))
+        out_leaf.append(
+            np.where(m & 0xFF, leaf_base[lo:hi] - leaf_lo, 0).astype(np.int32))
+
+    return SVO(
+        masks=np.concatenate(out_masks) if out_masks else np.zeros(0, np.int32),
+        child_base=np.concatenate(out_child),
+        leaf_base=np.concatenate(out_leaf),
+        leaf_albedo=np.asarray(svo.leaf_albedo)[leaf_lo:leaf_hi],
+        leaf_normal=np.asarray(svo.leaf_normal)[leaf_lo:leaf_hi],
+        leaf_density=np.asarray(svo.leaf_density)[leaf_lo:leaf_hi],
+        depth=svo.depth - level,
+        level_start=tuple(new_level_start),
+    )
+
+
+@dataclasses.dataclass
+class LevelShardedSVO:
+    """Replicated trunk + per-device subtree arenas (host-side container;
+    device arrays are produced by `device_arrays`)."""
+
+    trunk_masks: np.ndarray
+    trunk_child: np.ndarray
+    trunk_leaf: np.ndarray
+    trunk_depth: int
+    trunk_level_start: tuple
+    # per-octant (= trunk leaf id) metadata
+    octant_owner: np.ndarray    # i32 [n_oct] device id
+    octant_root: np.ndarray     # i32 [n_oct] root row in the owner's arena
+    octant_leaf_off: np.ndarray  # i32 [n_oct] leaf offset in owner arena
+    octant_origin: np.ndarray   # f32 [n_oct, 3] octree-local low corner
+    octant_size: float
+    sub_depth: int
+    # stacked per-device arenas (padded to uniform size)
+    arena_masks: np.ndarray     # i32 [n_dev, cap_nodes]
+    arena_child: np.ndarray
+    arena_leaf: np.ndarray
+    arena_albedo: np.ndarray    # f32 [n_dev, cap_leaves, 3]
+    arena_normal: np.ndarray
+    arena_density: np.ndarray
+
+    @property
+    def n_devices(self):
+        return self.arena_masks.shape[0]
+
+
+def split_svo(result_or_svo, split_level: int, n_devices: int,
+              node_coords_level=None) -> LevelShardedSVO:
+    """Split a built SVO at split_level into a replicated trunk + sharded
+    subtree arenas. Pass the BuildResult's node_coords[split_level] (or let
+    it be derived) for octant origins."""
+    svo = getattr(result_or_svo, "svo", result_or_svo)
+    if node_coords_level is None:
+        node_coords_level = getattr(result_or_svo, "node_coords")[split_level]
+
+    masks = np.asarray(svo.masks)
+    lo, hi = svo.level_start[split_level], svo.level_start[split_level + 1]
+    n_oct = hi - lo
+
+    # trunk = levels 0..split_level with the split-level nodes as leaves
+    t_masks = masks[: svo.level_start[split_level + 1]].copy()
+    t_child = np.asarray(svo.child_base)[: hi].copy()
+    t_leaf = np.zeros_like(t_child)
+    # split-level rows become leaves of their parents: flip parent leaf bits
+    plo, phi = svo.level_start[split_level - 1], svo.level_start[split_level]
+    pm = t_masks[plo:phi]
+    vm = (pm >> 8) & 0xFF
+    t_masks[plo:phi] = (vm << 8) | vm  # all children leaves
+    # parent leaf_base = rank of first child among split-level rows
+    t_leaf[plo:phi] = np.where(vm != 0, t_child[plo:phi] - lo, 0)
+    t_child[plo:phi] = 0
+    # split-level rows themselves are dropped from the trunk descriptor set
+    trunk_masks = t_masks[:phi]
+    trunk_child = t_child[:phi]
+    trunk_leaf = t_leaf[:phi]
+
+    # extract + distribute subtrees
+    subs: List[SVO] = [extract_subtree(svo, split_level, i)
+                       for i in range(n_oct)]
+    owner = np.arange(n_oct, dtype=np.int32) % n_devices
+    roots = np.zeros(n_oct, np.int32)
+    leaf_offs = np.zeros(n_oct, np.int32)
+    per_dev_nodes = [[] for _ in range(n_devices)]
+    per_dev = [dict(masks=[], child=[], leaf=[], albedo=[], normal=[],
+                    density=[], n_nodes=0, n_leaves=0)
+               for _ in range(n_devices)]
+    for i, sub in enumerate(subs):
+        dv = per_dev[owner[i]]
+        roots[i] = dv["n_nodes"]
+        leaf_offs[i] = dv["n_leaves"]
+        m = np.asarray(sub.masks)
+        dv["masks"].append(m)
+        dv["child"].append(
+            np.where((m >> 8) & ~m & 0xFF,
+                     np.asarray(sub.child_base) + dv["n_nodes"], 0))
+        dv["leaf"].append(
+            np.where(m & 0xFF, np.asarray(sub.leaf_base) + dv["n_leaves"], 0))
+        dv["albedo"].append(np.asarray(sub.leaf_albedo))
+        dv["normal"].append(np.asarray(sub.leaf_normal))
+        dv["density"].append(np.asarray(sub.leaf_density))
+        dv["n_nodes"] += sub.n_nodes
+        dv["n_leaves"] += sub.n_leaves
+
+    cap_nodes = max(max(d["n_nodes"] for d in per_dev), 1)
+    cap_leaves = max(max(d["n_leaves"] for d in per_dev), 1)
+    am = np.zeros((n_devices, cap_nodes), np.int32)
+    ac = np.zeros((n_devices, cap_nodes), np.int32)
+    al = np.zeros((n_devices, cap_nodes), np.int32)
+    aa = np.zeros((n_devices, cap_leaves, 3), np.float32)
+    an = np.zeros((n_devices, cap_leaves, 3), np.float32)
+    ad = np.zeros((n_devices, cap_leaves), np.float32)
+    for dev, dv in enumerate(per_dev):
+        if dv["n_nodes"]:
+            am[dev, :dv["n_nodes"]] = np.concatenate(dv["masks"])
+            ac[dev, :dv["n_nodes"]] = np.concatenate(dv["child"])
+            al[dev, :dv["n_nodes"]] = np.concatenate(dv["leaf"])
+        if dv["n_leaves"]:
+            aa[dev, :dv["n_leaves"]] = np.concatenate(dv["albedo"])
+            an[dev, :dv["n_leaves"]] = np.concatenate(dv["normal"])
+            ad[dev, :dv["n_leaves"]] = np.concatenate(dv["density"])
+
+    size = 2.0 ** (-split_level)
+    origins = node_coords_level.astype(np.float32) * size
+
+    return LevelShardedSVO(
+        trunk_masks=trunk_masks, trunk_child=trunk_child,
+        trunk_leaf=trunk_leaf, trunk_depth=split_level,
+        trunk_level_start=tuple(svo.level_start[: split_level + 1]),
+        octant_owner=owner, octant_root=roots, octant_leaf_off=leaf_offs,
+        octant_origin=origins, octant_size=size,
+        sub_depth=svo.depth - split_level,
+        arena_masks=am, arena_child=ac, arena_leaf=al,
+        arena_albedo=aa, arena_normal=an, arena_density=ad,
+    )
+
+
+def make_sharded_trace(mesh, ls: LevelShardedSVO, max_octants: int = 4):
+    """Build a jitted trace over the mesh: rays replicated (every device
+    sees the full batch), subtree arenas sharded on the device axis.
+
+    Returns fn(trunk..., octant tables..., arenas..., o, d) ->
+    (leaf, t, owner) per ray, where `leaf` indexes the owner device's arena
+    leaf arrays (and is only meaningful there; radiance-style consumers
+    compute locally and psum, so the per-ray result lives on its owner)."""
+    trunk_depth = ls.trunk_depth
+    sub_depth = ls.sub_depth
+    size = ls.octant_size
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(),
+                  P(RAY_AXIS, None), P(RAY_AXIS, None), P(RAY_AXIS, None),
+                  P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def _trace(trunk_m, trunk_c, trunk_l, oct_owner, oct_root, oct_leaf_off,
+               oct_origin, arena_m3, arena_c3, arena_l3, o, d):
+        # arenas arrive device-sharded on axis 0 -> local block (1, cap)
+        arena_m = arena_m3[0]
+        arena_c = arena_c3[0]
+        arena_l = arena_l3[0]
+        my_dev = jax.lax.axis_index(RAY_AXIS)
+        n = o.shape[0]
+        t_off = jnp.zeros(n, jnp.float32)
+        done = jnp.zeros(n, bool)
+        out_leaf = jnp.full(n, -1, jnp.int32)
+        out_t = jnp.zeros(n, jnp.float32)
+        out_owner = jnp.full(n, -1, jnp.int32)
+        eps = jnp.float32(1e-5)
+
+        for _ in range(max_octants):
+            o_cur = o + t_off[:, None] * d
+            r1 = traverse._trace_core(trunk_m, trunk_c, trunk_l,
+                                      o_cur, d, trunk_depth)
+            found = (r1.hit_leaf >= 0) & ~done
+            oct_id = jnp.where(found, r1.hit_leaf, 0)
+            owner = jnp.take(oct_owner, oct_id)
+            mine = found & (owner == my_dev)
+
+            c_org = jnp.take(oct_origin, oct_id, axis=0)
+            o_loc = (o_cur - c_org) / size
+            roots = jnp.take(oct_root, oct_id)
+            r2 = traverse._trace_core(arena_m, arena_c, arena_l,
+                                      o_loc, d, sub_depth, root=roots)
+            hit2_mine = (r2.hit_leaf >= 0) & mine
+
+            # did ANY device's owned content stop this ray this phase?
+            hit2_any = jax.lax.psum(hit2_mine.astype(jnp.int32), RAY_AXIS) > 0
+            new = hit2_mine & ~done
+            out_owner = jnp.where(new, my_dev, out_owner)
+            out_leaf = jnp.where(new, r2.hit_leaf, out_leaf)
+            out_t = jnp.where(new, t_off + r2.hit_t * size, out_t)
+            done = done | (hit2_any & found) | ~found
+
+            # found an octant but no content: advance past its AABB
+            t_exit = _aabb_exit_jnp(o_cur, d, c_org, size)
+            adv = found & ~hit2_any
+            t_off = jnp.where(adv, t_off + t_exit + eps, t_off)
+
+        # combine across devices: each ray's record lives on its owner;
+        # psum with owner masking produces the global per-ray answer
+        has = out_owner == my_dev
+        any_owner = jax.lax.psum(has.astype(jnp.int32), RAY_AXIS) > 0
+        leaf_sum = jax.lax.psum(jnp.where(has, out_leaf, 0), RAY_AXIS)
+        out_leaf = jnp.where(any_owner, leaf_sum, -1)
+        out_t = jax.lax.psum(jnp.where(has, out_t, 0.0), RAY_AXIS)
+        out_owner = jax.lax.pmax(out_owner, RAY_AXIS)
+        return out_leaf, out_t, out_owner
+
+    return _trace
+
+
+def _aabb_exit_jnp(o, d, box_org, size):
+    safe_d = jnp.where(jnp.abs(d) < 1e-12, 1e-12, d)
+    t0 = (box_org - o) / safe_d
+    t1 = (box_org + size - o) / safe_d
+    t_far = jnp.maximum(t0, t1)
+    return jnp.maximum(jnp.min(t_far, axis=1), 0.0)
