@@ -82,6 +82,9 @@ class TraceResult(NamedTuple):
     hit_parent: object  # i32 (N,)
     hit_child: object  # i32 (N,) unmirrored child slot
     iters: object      # i32 (N,)
+    # LOD early-exit only (trace with ray_size): interior node row whose
+    # projected size fell below the ray footprint, -1 otherwise
+    hit_node: object = None
 
 
 def init_state(origin, direction, depth, xp, root=None):
@@ -301,7 +304,7 @@ def trace_numpy(svo, origin, direction, root=None) -> TraceResult:
     return TraceResult(st.hit_leaf, st.hit_t, st.hit_parent, st.hit_child, st.iters)
 
 
-def _fast_step(st, nodes_packed, stack_iota, depth):
+def _fast_step(st, nodes_packed, stack_iota, depth, lod=None):
     """One traversal iteration, tuned for XLA:TPU:
 
       * ONE packed row gather (masks|child_base) per step — measured 3.6x
@@ -338,14 +341,30 @@ def _fast_step(st, nodes_packed, stack_iota, depth):
     below = (jnp.int32(1) << child_shift) - 1
     leaf_bit = ((lm >> child_shift) & 1) != 0
 
-    hit_now = enter & leaf_bit
+    hit_leafy = enter & leaf_bit
+    if lod is not None:
+        # LOD early-exit (Trace.cu:135-136, dropped by the reference's own
+        # C#/HLSL ports): stop descending when the child voxel's size falls
+        # below the ray's footprint at this distance
+        coef, bias = lod
+        small = enter & ~leaf_bit & (tc_max * coef + bias >= half * 2.0)
+        hit_now = hit_leafy | small
+    else:
+        small = None
+        hit_now = hit_leafy
     hit_parent = jnp.where(hit_now, st["parent"], st["hit_parent"])
     hit_child = jnp.where(hit_now, child_shift, st["hit_child"])
     hit_t = jnp.where(hit_now, st["t_min"], st["hit_t"])
     done = st["done"] | hit_now
+    if lod is not None:
+        node_rank_h = popc8(vm & ~lm & below, jnp)
+        cbase_h = nd[:, 1]
+        hit_node = jnp.where(small, cbase_h + node_rank_h, st["hit_node"])
 
     # PUSH with select-addressed stack
     push = enter & ~leaf_bit
+    if lod is not None:
+        push = push & ~small
     slot = jnp.clip(st["scale"] - s0, 0, depth - 1)
     write = push & (tc_max < st["h"])
     sel_w = (stack_iota == slot[None]) & write[None]
@@ -408,7 +427,7 @@ def _fast_step(st, nodes_packed, stack_iota, depth):
         idx_adv)
     h = jnp.where(pop_ok, f32(0.0), h)
 
-    return dict(
+    out = dict(
         pos=pos, idx=idx, parent=parent, scale=scale, scale_exp2=scale_exp2,
         t_min=t_min, t_max=t_max, h=h, octant_mask=st["octant_mask"],
         t_coef=st["t_coef"], t_bias=st["t_bias"], done=done,
@@ -416,6 +435,9 @@ def _fast_step(st, nodes_packed, stack_iota, depth):
         stack_node=stack_node, stack_tmax=stack_tmax,
         iters=st["iters"] + active.astype(i32),
     )
+    if lod is not None:
+        out["hit_node"] = hit_node
+    return out
 
 
 # Rays are processed in fixed-size chunks via lax.map: the while_loop body
@@ -446,9 +468,32 @@ def _trace_jax(masks, child_base, leaf_base, origin, direction, depth,
                 lambda odr: _trace_core(masks, child_base, leaf_base,
                                         odr[0], odr[1], depth, odr[2]),
                 (o_c, d_c, r_c))
-        return TraceResult(*(x.reshape(n) for x in res))
+        return TraceResult(
+            res.hit_leaf.reshape(n), res.hit_t.reshape(n),
+            res.hit_parent.reshape(n), res.hit_child.reshape(n),
+            res.iters.reshape(n))
     return _trace_core(masks, child_base, leaf_base, origin, direction,
                        depth, root)
+
+
+# Compaction schedule: once fewer than 1/COMPACT_FACTOR of a batch's rays
+# remain active, the survivors are gathered into a batch that much smaller
+# (profiled on the depth-10 terrain: mean 22 iterations/ray but batch maxima
+# of ~100-200 — straggler rays otherwise keep every lane busy).
+COMPACT_FACTOR = 4
+COMPACT_MIN = 2048  # don't bother below this width
+
+
+def _compact_take(st, perm):
+    out = {}
+    for k, v in st.items():
+        if v.ndim == 1:
+            out[k] = jnp.take(v, perm, axis=0)
+        elif k in ("stack_node", "stack_tmax"):
+            out[k] = jnp.take(v, perm, axis=1)
+        else:  # (N, 3)
+            out[k] = jnp.take(v, perm, axis=0)
+    return out
 
 
 def _trace_core(masks, child_base, leaf_base, origin, direction, depth,
@@ -464,30 +509,77 @@ def _trace_core(masks, child_base, leaf_base, origin, direction, depth,
         hit_child=st0.hit_child, hit_t=st0.hit_t,
         stack_node=st0.stack_node, stack_tmax=st0.stack_tmax, iters=st0.iters,
     )
-    stack_iota = jax.lax.broadcasted_iota(jnp.int32, (depth, n), 0)
     n_max = max_iters_for_depth(depth)
 
-    def cond(carry):
-        i, st = carry
-        return (i < n_max) & jnp.any(~st["done"])
+    # output accumulators at full width; each phase scatters its terminated
+    # rays back by original index
+    out_parent = jnp.full(n, -1, jnp.int32)
+    out_child = jnp.zeros(n, jnp.int32)
+    out_t = jnp.zeros(n, jnp.float32)
+    out_iters = jnp.zeros(n, jnp.int32)
+    orig = jnp.arange(n, dtype=jnp.int32)
+    st["orig"] = orig
+    st["base_iters"] = jnp.zeros(n, jnp.int32)
 
-    def body(carry):
-        i, st = carry
-        return i + 1, _fast_step(st, nodes_packed, stack_iota, depth)
+    widths = [n]
+    w = n
+    while w // COMPACT_FACTOR >= COMPACT_MIN:
+        w = w // COMPACT_FACTOR
+        widths.append(w)
 
-    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+    i_total = jnp.int32(0)
+    for phase, width in enumerate(widths):
+        is_last = phase == len(widths) - 1
+        next_width = None if is_last else widths[phase + 1]
+        stack_iota = jax.lax.broadcasted_iota(jnp.int32, (depth, width), 0)
+
+        def cond(carry, _next=next_width, _last=is_last):
+            i, st = carry
+            go = (i < n_max) & jnp.any(~st["done"])
+            if not _last:
+                # keep running until survivors fit the next width
+                go = go & (jnp.sum(~st["done"]) > _next)
+            return go
+
+        def body(carry):
+            i, st = carry
+            extra = {"orig": st["orig"], "base_iters": st["base_iters"]}
+            core = {k: v for k, v in st.items() if k not in extra}
+            core = _fast_step(core, nodes_packed, stack_iota, depth)
+            core.update(extra)
+            return i + 1, core
+
+        i_total, st = jax.lax.while_loop(cond, body, (i_total, st))
+
+        # write results (terminated rays are final; survivors will be
+        # overwritten by a later phase). Phase 0's orig is the identity.
+        if phase == 0:
+            out_parent = st["hit_parent"]
+            out_child = st["hit_child"]
+            out_t = st["hit_t"]
+            out_iters = st["base_iters"] + st["iters"]
+        else:
+            out_parent = out_parent.at[st["orig"]].set(st["hit_parent"])
+            out_child = out_child.at[st["orig"]].set(st["hit_child"])
+            out_t = out_t.at[st["orig"]].set(st["hit_t"])
+            out_iters = out_iters.at[st["orig"]].set(
+                st["base_iters"] + st["iters"])
+        if not is_last:
+            perm = jnp.argsort(st["done"])[:next_width]  # actives first
+            st = _compact_take(st, perm)
+            st["base_iters"] = st["base_iters"] + st["iters"]
+            st["iters"] = jnp.zeros(next_width, jnp.int32)
 
     # leaf resolution outside the loop
-    hit = st["hit_parent"] >= 0
-    safe_parent = jnp.where(hit, st["hit_parent"], 0)
+    hit = out_parent >= 0
+    safe_parent = jnp.where(hit, out_parent, 0)
     desc = jnp.take(masks, safe_parent)
     vm = (desc >> 8) & 0xFF
     lm = desc & 0xFF
-    below = (jnp.int32(1) << st["hit_child"]) - 1
+    below = (jnp.int32(1) << out_child) - 1
     rank = popc8(vm & lm & below, jnp)
     hit_leaf = jnp.where(hit, jnp.take(leaf_base, safe_parent) + rank, -1)
-    return TraceResult(hit_leaf, st["hit_t"], st["hit_parent"],
-                       st["hit_child"], st["iters"])
+    return TraceResult(hit_leaf, out_t, out_parent, out_child, out_iters)
 
 
 def trace_jax(svo, origin, direction) -> TraceResult:
@@ -680,6 +772,64 @@ def _trace_multi_core(masks, child_base, leaf_base, origin, direction, depth,
     return MultiTraceResult(
         st["hits_leaf"].T, st["hits_tin"].T, st["hits_tout"].T, st["count"],
         st["iters"])
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def _trace_lod_jax(masks, child_base, leaf_base, origin, direction, depth,
+                   coef, bias):
+    """Trace with LOD early-exit: descent stops when the child voxel size
+    drops below the ray footprint (t * coef + bias), reporting the interior
+    node instead of a leaf (Trace.cu:135-136 ray_size_coef semantics)."""
+    nodes_packed = jnp.stack([masks, child_base], axis=1)
+    st0 = init_state(origin, direction, depth, jnp)
+    n = origin.shape[0]
+    st = dict(
+        pos=st0.pos, idx=st0.idx, parent=st0.parent, scale=st0.scale,
+        scale_exp2=st0.scale_exp2, t_min=st0.t_min, t_max=st0.t_max,
+        h=st0.h, octant_mask=st0.octant_mask, t_coef=st0.t_coef,
+        t_bias=st0.t_bias, done=st0.done,
+        hit_parent=jnp.full(n, -1, jnp.int32), hit_child=st0.hit_child,
+        hit_t=st0.hit_t, hit_node=jnp.full(n, -1, jnp.int32),
+        stack_node=st0.stack_node, stack_tmax=st0.stack_tmax,
+        iters=st0.iters,
+    )
+    stack_iota = jax.lax.broadcasted_iota(jnp.int32, (depth, n), 0)
+    n_max = max_iters_for_depth(depth)
+    lod = (jnp.float32(coef), jnp.float32(bias))
+
+    def cond(carry):
+        i, st = carry
+        return (i < n_max) & jnp.any(~st["done"])
+
+    def body(carry):
+        i, st = carry
+        return i + 1, _fast_step(st, nodes_packed, stack_iota, depth,
+                                 lod=lod)
+
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+
+    is_node = st["hit_node"] >= 0
+    hit = (st["hit_parent"] >= 0) & ~is_node
+    safe_parent = jnp.where(hit, st["hit_parent"], 0)
+    desc = jnp.take(masks, safe_parent)
+    vm = (desc >> 8) & 0xFF
+    lm = desc & 0xFF
+    below = (jnp.int32(1) << st["hit_child"]) - 1
+    rank = popc8(vm & lm & below, jnp)
+    hit_leaf = jnp.where(hit, jnp.take(leaf_base, safe_parent) + rank, -1)
+    return TraceResult(hit_leaf, st["hit_t"], st["hit_parent"],
+                       st["hit_child"], st["iters"], st["hit_node"])
+
+
+def trace_lod_jax(svo, origin, direction, pixel_size_coef,
+                  pixel_size_bias=0.0) -> TraceResult:
+    """LOD trace: pixel footprint grows as t * coef + bias (octree-local
+    units). For a perspective camera, coef ~= 2*tan(fov/2)/image_height."""
+    return _trace_lod_jax(
+        jnp.asarray(svo.masks), jnp.asarray(svo.child_base),
+        jnp.asarray(svo.leaf_base), jnp.asarray(origin, jnp.float32),
+        jnp.asarray(direction, jnp.float32), svo.depth,
+        float(pixel_size_coef), float(pixel_size_bias))
 
 
 def trace_multi_jax(svo, origin, direction, k=4) -> MultiTraceResult:

@@ -201,6 +201,20 @@ def test_chunked_trace_matches(sphere5, monkeypatch):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_compaction_path_matches(sphere5, monkeypatch):
+    """Active-ray compaction (argsort + gather between while phases) must
+    not change any result."""
+    monkeypatch.setattr(traverse, "COMPACT_MIN", 16)
+    svo = sphere5.svo
+    o, d = random_rays(1024, seed=47)  # widths 1024 -> 256 -> 64 -> 16
+    r_np = traverse.trace_numpy(svo, o, d)
+    r_jx = traverse.trace_jax(svo.device(), o, d)
+    np.testing.assert_array_equal(r_np.hit_leaf, np.asarray(r_jx.hit_leaf))
+    np.testing.assert_allclose(r_np.hit_t, np.asarray(r_jx.hit_t),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(r_np.hit_parent, np.asarray(r_jx.hit_parent))
+
+
 def test_hit_rate_sphere(sphere5):
     # rays aimed at the sphere from a shell: nearly all should hit
     svo = sphere5.svo
