@@ -39,9 +39,12 @@ class OctreeFrame:
         return o_l, xp.asarray(d, xp.float32)
 
     def t_world(self, t_local, xp):
-        # directions are not renormalized by world_to_local, so t carries the
-        # 1/size factor; undo it for world-space distances
-        return t_local  # t is in units of the (unscaled) direction already
+        # world_to_local divides origins by `size` but leaves directions
+        # unscaled, so a local ray parameter t_l satisfies
+        #   (o_world + t_w * d - origin) / size = o_local + t_l * d
+        # i.e. t_w = size * t_l (the same factor stream/clipmap.py and
+        # parallel/level_sharded.py apply for their per-chunk frames)
+        return xp.float32(self.size) * t_local
 
 
 @dataclasses.dataclass(frozen=True)

@@ -65,6 +65,20 @@ def test_render_world_frame(sphere5):
     np.testing.assert_allclose(img_local, img_world, rtol=1e-3, atol=2e-3)
 
 
+def test_t_world_scales_by_frame_size():
+    # regression: a local ray parameter t_l corresponds to world distance
+    # size * t_l (world_to_local scales origins but not directions)
+    frame = OctreeFrame(origin=(2.0, -1.0, 3.0), size=4.0)
+    o_w = np.array([[0.25, 0.5, -0.75]], np.float32)
+    d = np.array([[0.6, 0.0, 0.8]], np.float32)  # unit length
+    o_l, d_l = frame.world_to_local(o_w, d, np)
+    t_l = 0.7
+    q_world = np.asarray(frame.origin) + frame.size * (o_l[0] + t_l * d_l[0])
+    t_w_expected = float(np.dot(q_world - o_w[0], d[0]))
+    assert abs(float(frame.t_world(np.float32(t_l), np)) - t_w_expected) < 1e-5
+    assert abs(t_w_expected - frame.size * t_l) < 1e-5
+
+
 def test_progressive_accumulation_reduces_noise(sphere5):
     img1 = render_progressive(sphere5, CAM, n_samples=1, backend="numpy", seed=0)
     img8 = render_progressive(sphere5, CAM, n_samples=8, backend="numpy", seed=0)
