@@ -73,6 +73,10 @@ class SVO:
     leaf_density: Any  # float32 [n_leaves]    for volumetric/diff rendering
     depth: int = dataclasses.field(metadata=dict(static=True))
     level_start: tuple = dataclasses.field(metadata=dict(static=True))
+    # int32 [n_nodes] row of each node's parent (root -> itself). Used by the
+    # stackless traversal's one-level POP; derivable from masks/child_base
+    # (compute_parent_ptr) so it is optional on construction.
+    parent_ptr: Any = None
 
     @property
     def n_nodes(self) -> int:
@@ -84,6 +88,10 @@ class SVO:
 
     def device(self) -> "SVO":
         """Move arrays to jnp (device) arrays."""
+        pptr = self.parent_ptr
+        if pptr is None:
+            pptr = compute_parent_ptr(np.asarray(self.masks),
+                                      np.asarray(self.child_base))
         return SVO(
             masks=jnp.asarray(self.masks),
             child_base=jnp.asarray(self.child_base),
@@ -93,7 +101,16 @@ class SVO:
             leaf_density=jnp.asarray(self.leaf_density),
             depth=self.depth,
             level_start=self.level_start,
+            parent_ptr=jnp.asarray(pptr),
         )
+
+    def with_parent_ptr(self) -> "SVO":
+        """Host-side copy with parent_ptr filled in (no-op if present)."""
+        if self.parent_ptr is not None:
+            return self
+        return dataclasses.replace(
+            self, parent_ptr=compute_parent_ptr(
+                np.asarray(self.masks), np.asarray(self.child_base)))
 
 
 @dataclasses.dataclass
@@ -135,6 +152,35 @@ def sampler_normal(scene, px, py, pz, h=1e-3, xp=np):
     return n / xp.maximum(norm, 1e-12)
 
 
+def compute_parent_ptr(masks, child_base):
+    """Derive each node row's parent row (root/orphan rows point at the last
+    preceding parent, root at itself).
+
+    Relies on the canonical layout invariant that child blocks are contiguous
+    and ordered by parent row (true for the breadth-first builder and for each
+    sub-block of a streaming arena): scatter each parent id at its block start
+    and forward-fill with a running maximum.
+    """
+    masks = np.asarray(masks)
+    child_base = np.asarray(child_base)
+    n = masks.shape[0]
+    vm = (masks >> 8) & 0xFF
+    lm = masks & 0xFF
+    nl = (vm & ~lm) & 0xFF
+    has = nl != 0  # has at least one non-leaf child
+    seed = np.zeros(n, np.int32)
+    seed[child_base[has]] = np.arange(n, dtype=np.int32)[has]
+    return np.maximum.accumulate(seed).astype(np.int32)
+
+
+def _sorted_unique(par):
+    """(unique values, first-occurrence starts) of an already-sorted array —
+    O(n), unlike np.unique which re-sorts."""
+    starts = np.concatenate(
+        [np.zeros(1, np.int64), np.flatnonzero(par[1:] != par[:-1]) + 1])
+    return par[starts], starts
+
+
 def build_svo(scene, depth: int, prune: bool = True) -> BuildResult:
     """Build a packed SVO from a signed-density scene.
 
@@ -161,26 +207,30 @@ def build_svo(scene, depth: int, prune: bool = True) -> BuildResult:
         n_p = p.shape[0]
         # expand: children in Morton child order, parent-major
         cc = (p[:, None, :] * 2 + CHILD_OFFSETS[None, :, :]).reshape(-1, 3)
-        par = np.repeat(np.arange(n_p, dtype=np.int64), 8)
-        slot = np.tile(np.arange(8, dtype=np.int32), n_p)
         if prune:
             half = 2.0 ** (-(l + 1))
-            center = (cc.astype(np.float64) + 0.5) * (2.0 ** (-l))
-            f = np.asarray(
-                scene(
-                    center[:, 0].astype(np.float32),
-                    center[:, 1].astype(np.float32),
-                    center[:, 2].astype(np.float32),
-                    xp=np,
-                ),
-                np.float32,
-            )
+            # float32 is exact here: coords < 2^depth <= 2^12, and
+            # (c + 0.5) * 2^-l is a dyadic rational well inside f32 range
+            scale_l = np.float32(2.0 ** (-l))
+            px = (cc[:, 0].astype(np.float32) + np.float32(0.5)) * scale_l
+            py = (cc[:, 1].astype(np.float32) + np.float32(0.5)) * scale_l
+            pz = (cc[:, 2].astype(np.float32) + np.float32(0.5)) * scale_l
+            f = np.asarray(scene(px, py, pz, xp=np), np.float32)
             # Octant can contain a solid voxel center: f(center) <= L*r
             # Octant can contain a voxel with an air neighbor (neighbor probe
             # reaches one voxel size outside): f(center) >= -L*(r + 2*finest)
             r = _SQRT3 * half
             keep = (f <= L * r + 1e-6) & (f >= -(L * (r + 2.0 * finest)) - 1e-6)
-            cc, par, slot = cc[keep], par[keep], slot[keep]
+            # parent index / child slot recovered from the kept flat positions
+            # (children are parent-major, 8 per parent) — avoids materializing
+            # full pre-prune repeat/tile arrays
+            kept = np.nonzero(keep)[0]
+            cc = cc[kept]
+            par = kept >> 3
+            slot = (kept & 7).astype(np.int32)
+        else:
+            par = np.repeat(np.arange(n_p, dtype=np.int64), 8)
+            slot = np.tile(np.arange(8, dtype=np.int32), n_p)
         coords.append(cc)
         parent_of.append(par)
         slot_of.append(slot)
@@ -188,24 +238,42 @@ def build_svo(scene, depth: int, prune: bool = True) -> BuildResult:
 
     # ---- Phase B: exact leaf test at the finest level -------------------
     cc = coords[depth]
-    center = (cc.astype(np.float64) + 0.5) * finest
-    px = center[:, 0].astype(np.float32)
-    py = center[:, 1].astype(np.float32)
-    pz = center[:, 2].astype(np.float32)
+    fin32 = np.float32(finest)
+    px = (cc[:, 0].astype(np.float32) + np.float32(0.5)) * fin32
+    py = (cc[:, 1].astype(np.float32) + np.float32(0.5)) * fin32
+    pz = (cc[:, 2].astype(np.float32) + np.float32(0.5)) * fin32
     f0 = np.asarray(scene(px, py, pz, xp=np), np.float32)
     solid = f0 <= 0.0
     # six-neighbor air probe at one voxel-size distance
-    # (reference IsEdge, NaiveCreator.cs:121-130)
-    air = np.zeros_like(solid)
-    d = np.float32(finest)
-    for ax, sgn in ((0, d), (0, -d), (1, d), (1, -d), (2, d), (2, -d)):
-        off = [px, py, pz]
-        off[ax] = off[ax] + sgn
-        air |= np.asarray(scene(off[0], off[1], off[2], xp=np), np.float32) > 0.0
-    survive_leaf = solid & air
+    # (reference IsEdge, NaiveCreator.cs:121-130). Only solid voxels can be
+    # leaves, so probe just those, and in ONE batched scene call (the native
+    # threaded sampler amortizes far better over one big batch).
+    survive_leaf = np.zeros_like(solid)
+    si = np.nonzero(solid)[0]
+    if si.size:
+        sx, sy, sz = px[si], py[si], pz[si]
+        m = si.size
+        qx = np.empty(6 * m, np.float32)
+        qy = np.empty(6 * m, np.float32)
+        qz = np.empty(6 * m, np.float32)
+        k = 0
+        for ax, sgn in ((0, fin32), (0, -fin32), (1, fin32), (1, -fin32),
+                        (2, fin32), (2, -fin32)):
+            off = [sx, sy, sz]
+            off[ax] = off[ax] + sgn
+            qx[k * m:(k + 1) * m] = off[0]
+            qy[k * m:(k + 1) * m] = off[1]
+            qz[k * m:(k + 1) * m] = off[2]
+            k += 1
+        fq = np.asarray(scene(qx, qy, qz, xp=np), np.float32)
+        air = (fq.reshape(6, m) > 0.0).any(axis=0)
+        survive_leaf[si] = air
 
     # ---- Phase C: upward pruning + mask/pointer assembly ----------------
     # survive[l]: bool over candidates at level l; masks assembled per level.
+    # parent_of[l] is non-decreasing (children emitted parent-major), so the
+    # per-parent scatters reduce to sorted-segment ops (np.ufunc.at is ~50x
+    # slower than reduceat on these sizes).
     survive = [None] * (depth + 1)
     survive[depth] = survive_leaf
     valid_masks = [None] * depth  # for node levels 0..depth-1
@@ -213,10 +281,11 @@ def build_svo(scene, depth: int, prune: bool = True) -> BuildResult:
         n_c = coords[l].shape[0]
         vm = np.zeros(n_c, np.int32)
         s_child = survive[l + 1]
-        np.bitwise_or.at(
-            vm, parent_of[l + 1][s_child],
-            (np.int32(1) << slot_of[l + 1][s_child]),
-        )
+        par = parent_of[l + 1][s_child]
+        bits = np.int32(1) << slot_of[l + 1][s_child]
+        if par.size:
+            upar, starts = _sorted_unique(par)
+            vm[upar] = np.bitwise_or.reduceat(bits, starts)
         valid_masks[l] = vm
         survive[l] = vm != 0
     # Always keep the root (possibly with an empty valid mask) so traversal
@@ -245,7 +314,15 @@ def build_svo(scene, depth: int, prune: bool = True) -> BuildResult:
     leaf_base = np.zeros(n_nodes, np.int32)
     node_coords = []
 
-    big = np.int64(1) << 60
+    def _first_child_per_parent(n_parents, par, vals):
+        # par sorted non-decreasing, vals increasing in candidate order -> the
+        # per-parent minimum is the value at each parent's first occurrence
+        fb = np.zeros(n_parents, np.int64)
+        if par.size:
+            upar, starts = _sorted_unique(par)
+            fb[upar] = vals[starts]
+        return fb
+
     for l in range(depth):
         s = survive[l]
         rows = level_start[l] + new_idx[l][s]
@@ -255,18 +332,17 @@ def build_svo(scene, depth: int, prune: bool = True) -> BuildResult:
             # all children are leaves
             masks[rows] = (vm << 8) | vm
             # first leaf child's index in the global leaf array
-            fb = np.full(coords[l].shape[0], big)
             sc = survive[depth]
-            np.minimum.at(fb, parent_of[depth][sc], leaf_idx[sc])
-            leaf_base[rows] = np.where(fb[s] >= big, 0, fb[s]).astype(np.int32)
+            fb = _first_child_per_parent(
+                coords[l].shape[0], parent_of[depth][sc], leaf_idx[sc])
+            leaf_base[rows] = fb[s].astype(np.int32)
         else:
             masks[rows] = vm << 8
-            fb = np.full(coords[l].shape[0], big)
             sc = survive[l + 1]
-            np.minimum.at(
-                fb, parent_of[l + 1][sc], level_start[l + 1] + new_idx[l + 1][sc]
-            )
-            child_base[rows] = np.where(fb[s] >= big, 0, fb[s]).astype(np.int32)
+            fb = _first_child_per_parent(
+                coords[l].shape[0], parent_of[l + 1][sc],
+                level_start[l + 1] + new_idx[l + 1][sc])
+            child_base[rows] = fb[s].astype(np.int32)
 
     # ---- Leaf attributes -------------------------------------------------
     sl = survive[depth]
@@ -285,6 +361,7 @@ def build_svo(scene, depth: int, prune: bool = True) -> BuildResult:
         leaf_density=density,
         depth=depth,
         level_start=tuple(int(v) for v in level_start),
+        parent_ptr=compute_parent_ptr(masks, child_base),
     )
     return BuildResult(
         svo=svo,
