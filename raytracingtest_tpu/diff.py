@@ -104,22 +104,26 @@ def shade_diff(hit_leaf, direction, albedo, normal, density,
 @partial(jax.jit, static_argnames=("depth",))
 def render_diff(albedo, normal, density, masks, child_base, leaf_base,
                 o, d, depth, light_dir,
-                light_intensity=1.3, light_ambient=0.08):
+                light_intensity=1.3, light_ambient=0.08, parent_ptr=None):
     """Differentiable render of a flat ray batch. Returns (N, 3) radiance.
 
     Traversal runs under stop_gradient (discrete structure); shading is
-    differentiable in (albedo, normal, density).
+    differentiable in (albedo, normal, density). parent_ptr (optional) skips
+    the in-jit derivation — pass svo.parent_ptr on hot paths.
     """
-    res = traverse._trace_jax(masks, child_base, leaf_base, o, d, depth)
+    if parent_ptr is None:
+        parent_ptr = traverse.derive_parent_ptr_jnp(masks, child_base)
+    res = traverse._trace_jax(masks, child_base, leaf_base, parent_ptr, o, d,
+                              depth)
     hit_leaf = jax.lax.stop_gradient(res.hit_leaf)
     return shade_diff(hit_leaf, d, albedo, normal, density,
                       light_dir, light_intensity, light_ambient)
 
 
 def l2_loss(albedo, normal, density, masks, child_base, leaf_base,
-            o, d, depth, light_dir, target):
+            o, d, depth, light_dir, target, parent_ptr=None):
     img = render_diff(albedo, normal, density, masks, child_base, leaf_base,
-                      o, d, depth, light_dir)
+                      o, d, depth, light_dir, parent_ptr=parent_ptr)
     return jnp.mean((img - target) ** 2)
 
 
@@ -137,7 +141,7 @@ loss_and_grads = jax.jit(
 def render_volumetric(albedo, normal, density, masks, child_base, leaf_base,
                       o, d, depth, light_dir, k=4,
                       light_intensity=1.3, light_ambient=0.08,
-                      density_scale=64.0):
+                      density_scale=64.0, parent_ptr=None):
     """Differentiable emission-absorption rendering over the first k leaf
     segments of each ray (Plenoxels-style alpha compositing; the
     extension beyond the reference's hard-surface model required by the
@@ -147,8 +151,10 @@ def render_volumetric(albedo, normal, density, masks, child_base, leaf_base,
     radiance = sum_i T_i alpha_i c_i + T_final * sky, with c_i the
     Lambert-shaded voxel color. Gradients flow to albedo, normal and density
     through the same sorted segment-sum VJP."""
-    res = traverse._trace_multi_jax(masks, child_base, leaf_base, o, d,
-                                    depth, k)
+    if parent_ptr is None:
+        parent_ptr = traverse.derive_parent_ptr_jnp(masks, child_base)
+    res = traverse._trace_multi_jax(masks, child_base, leaf_base, parent_ptr,
+                                    o, d, depth, k)
     hit_leaf = jax.lax.stop_gradient(res.hit_leaf)      # (N, k)
     t_in = jax.lax.stop_gradient(res.t_in)
     t_out = jax.lax.stop_gradient(res.t_out)
@@ -181,7 +187,8 @@ def render_volumetric(albedo, normal, density, masks, child_base, leaf_base,
 
 
 def volumetric_l2_loss(albedo, normal, density, masks, child_base, leaf_base,
-                       o, d, depth, light_dir, target, k=4):
+                       o, d, depth, light_dir, target, k=4, parent_ptr=None):
     img = render_volumetric(albedo, normal, density, masks, child_base,
-                            leaf_base, o, d, depth, light_dir, k=k)
+                            leaf_base, o, d, depth, light_dir, k=k,
+                            parent_ptr=parent_ptr)
     return jnp.mean((img - target) ** 2)

@@ -286,8 +286,9 @@ def step(state: TraceState, masks, child_base, leaf_base, depth, xp):
 def max_iters_for_depth(depth: int) -> int:
     # Worst-case PUSH/ADVANCE/POP step count; the reference bounds work by
     # scale < s_max only (NVIDIASVO.compute:57) — we add an explicit trip
-    # bound so the vectorized loop always terminates.
-    return 16 * depth + 48
+    # bound so the vectorized loop always terminates. The stackless XLA path
+    # spends one iteration per popped level, so the bound is generous.
+    return 24 * depth + 48
 
 
 def trace_numpy(svo, origin, direction, root=None) -> TraceResult:
@@ -304,39 +305,63 @@ def trace_numpy(svo, origin, direction, root=None) -> TraceResult:
     return TraceResult(st.hit_leaf, st.hit_t, st.hit_parent, st.hit_child, st.iters)
 
 
-def _fast_step(st, nodes_packed, stack_iota, depth, lod=None):
-    """One traversal iteration, tuned for XLA:TPU:
+def _fast_step(st, nodes_packed, depth, lod=None):
+    """One traversal iteration, tuned for XLA:TPU. STACKLESS re-design:
 
-      * ONE packed row gather (masks|child_base) per step — measured 3.6x
-        cheaper than two 1D gathers on v5e
-      * traversal stack addressed by iota-compare selects — measured 65x
-        cheaper than scatter/gather stack addressing on v5e
-      * no leaf_base access in the loop: the hit records (parent, child) and
-        the leaf row is resolved by one gather afterwards
+      * ONE packed row gather (masks|child_base|parent_ptr) per step — the
+        in-loop gather is the dominant cost on TPU, so everything else is
+        arranged around doing exactly one of them
+      * NO traversal stack: the parent node's exit t is recomputed from `pos`
+        (round the child corner up to the parent grid, take the min corner-
+        plane t, clip by the root exit — bit-identical to the value ESVO
+        keeps on its stack because with mirrored directions a child's exit t
+        never exceeds its parent's), and POP ascends ONE level per iteration
+        through the parent pointer instead of jumping to the float-mantissa
+        scale (a multi-level pop simply takes one iteration per level; `pos`
+        never leaves the current parent, so no stale state is possible)
+      * scale_exp2 is recomputed from scale (one bitcast) instead of carried
 
-    st is a dict (subset of TraceState); semantics match step()/the scalar
-    oracle bit-for-bit (tested)."""
+    The loop state shrinks from ~(20 + 2*depth) arrays to 13, which keeps a
+    64K-ray chunk's carry in VMEM. Hit results (leaf id, t) are bit-identical
+    to step()/the scalar oracle (tested); only `iters` differs.
+
+    st is a dict; nodes_packed is int32 (n_nodes, 3)."""
     f32, i32 = jnp.float32, jnp.int32
-    s0 = S_MAX - depth
     active = ~st["done"]
 
-    nd = jnp.take(nodes_packed, st["parent"], axis=0)  # (N, 2)
+    nd = jnp.take(nodes_packed, st["parent"], axis=0)  # (N, 3)
     desc = nd[:, 0]
     cbase = nd[:, 1]
+    pptr = nd[:, 2]
     vm = (desc >> 8) & 0xFF
     lm = desc & 0xFF
 
+    scale = st["scale"]
+    scale_exp2 = _i2f((scale - S_MAX + 127) << 23, jnp)  # 2^(scale-S_MAX)
     pos = st["pos"]
     t_corner = pos * st["t_coef"] - st["t_bias"]
     tc_max = jnp.min(t_corner, axis=1)
 
+    # parent cube exit t (the value ESVO stacks as t_max): round pos up to
+    # the parent grid, min of its corner-plane t's, clipped by the root exit
+    pshift = scale + 1  # pop target grid; scale <= S_MAX-1 so shift <= S_MAX
+    psh = _f2i(pos, jnp) >> pshift[:, None]
+    parent_pos = _i2f(psh << pshift[:, None], jnp)
+    t_root = jnp.min(st["t_coef"] - st["t_bias"], axis=1)
+    t_max = jnp.minimum(
+        jnp.min(parent_pos * st["t_coef"] - st["t_bias"], axis=1), t_root)
+
     child_shift = st["idx"] ^ st["octant_mask"] ^ 7
     child_valid = ((vm >> child_shift) & 1) != 0
-    can = child_valid & (st["t_min"] <= st["t_max"]) & active
+    # `popped` marks a ray that ascended last iteration: its current child is
+    # the node it just exited (t_min sits exactly on its boundary), so entry
+    # is suppressed for one iteration and the ray ADVANCEs at this level —
+    # stepping to the sibling, or popping again if the exit crossed this
+    # parent's boundary too
+    can = child_valid & (st["t_min"] <= t_max) & active & ~st["popped"]
 
-    tv_max = jnp.minimum(st["t_max"], tc_max)
-    half = st["scale_exp2"] * f32(0.5)
-    t_center = half[:, None] * st["t_coef"] + t_corner
+    tv_max = jnp.minimum(t_max, tc_max)
+    half = scale_exp2 * f32(0.5)
     enter = can & (st["t_min"] <= tv_max)
     below = (jnp.int32(1) << child_shift) - 1
     leaf_bit = ((lm >> child_shift) & 1) != 0
@@ -356,25 +381,18 @@ def _fast_step(st, nodes_packed, stack_iota, depth, lod=None):
     hit_child = jnp.where(hit_now, child_shift, st["hit_child"])
     hit_t = jnp.where(hit_now, st["t_min"], st["hit_t"])
     done = st["done"] | hit_now
-    if lod is not None:
-        node_rank_h = popc8(vm & ~lm & below, jnp)
-        cbase_h = nd[:, 1]
-        hit_node = jnp.where(small, cbase_h + node_rank_h, st["hit_node"])
 
-    # PUSH with select-addressed stack
+    node_rank = popc8(vm & ~lm & below, jnp)
+    if lod is not None:
+        hit_node = jnp.where(small, cbase + node_rank, st["hit_node"])
+
+    # ---- PUSH (descend into the entered non-leaf child) ----
     push = enter & ~leaf_bit
     if lod is not None:
         push = push & ~small
-    slot = jnp.clip(st["scale"] - s0, 0, depth - 1)
-    write = push & (tc_max < st["h"])
-    sel_w = (stack_iota == slot[None]) & write[None]
-    stack_node = jnp.where(sel_w, st["parent"][None], st["stack_node"])
-    stack_tmax = jnp.where(sel_w, st["t_max"][None], st["stack_tmax"])
-    h = jnp.where(push, tc_max, st["h"])
-
-    node_rank = popc8(vm & ~lm & below, jnp)
     parent = jnp.where(push, cbase + node_rank, st["parent"])
 
+    t_center = half[:, None] * st["t_coef"] + t_corner
     upper = t_center > st["t_min"][:, None]
     bit = jnp.asarray([1, 2, 4], i32)
     idx_descend = jnp.sum(jnp.where(upper, bit[None, :], 0), axis=1,
@@ -383,56 +401,42 @@ def _fast_step(st, nodes_packed, stack_iota, depth, lod=None):
 
     idx = jnp.where(push, idx_descend, st["idx"])
     pos = jnp.where(push[:, None], pos_descend, pos)
-    scale = jnp.where(push, st["scale"] - 1, st["scale"])
-    scale_exp2 = jnp.where(push, half, st["scale_exp2"])
-    t_max = jnp.where(push, tv_max, st["t_max"])
+    scale = jnp.where(push, scale - 1, scale)
 
-    # ADVANCE
-    adv = active & ~push & ~hit_now
+    # ---- ADVANCE / POP decision ----
+    adv_any = active & ~push & ~hit_now
     step_bits = t_corner <= tc_max[:, None]
     step_mask = jnp.sum(jnp.where(step_bits, bit[None, :], 0), axis=1,
                         dtype=i32)
-    pos = pos - jnp.where(step_bits & adv[:, None], scale_exp2[:, None],
+    idx_adv = st["idx"] ^ step_mask
+    pop = adv_any & ((idx_adv & step_mask) != 0)  # step leaves the parent
+    move = adv_any & ~pop
+    t_min = jnp.where(adv_any, jnp.maximum(st["t_min"], tc_max), st["t_min"])
+
+    # MOVE: step to the sibling within the parent
+    pos = pos - jnp.where(step_bits & move[:, None], scale_exp2[:, None],
                           f32(0.0))
-    t_min = jnp.where(adv, jnp.maximum(st["t_min"], tc_max), st["t_min"])
-    idx_adv = jnp.where(adv, idx ^ step_mask, idx)
+    idx = jnp.where(move, idx_adv, idx)
 
-    # POP
-    pop = adv & ((idx_adv & step_mask) != 0)
-    xor_bits = _f2i(pos, jnp) ^ _f2i(pos + scale_exp2[:, None], jnp)
-    differing = jnp.sum(jnp.where(step_bits, xor_bits, 0), axis=1,
-                        dtype=i32) | 1
-    new_scale = (_f2i(differing.astype(f32), jnp) >> 23) - 127
-    oob = pop & ((new_scale >= S_MAX) | (new_scale < s0))
-    pop_ok = pop & ~oob
-    done = done | oob
-
-    scale = jnp.where(pop_ok, new_scale, scale)
-    scale_exp2 = jnp.where(
-        pop_ok, _i2f((jnp.clip(new_scale, s0, S_MAX - 1) - S_MAX + 127) << 23,
-                     jnp), scale_exp2)
-    slot2 = jnp.clip(scale - s0, 0, depth - 1)
-    sel_r = stack_iota == slot2[None]
-    parent = jnp.where(
-        pop_ok, jnp.sum(jnp.where(sel_r, stack_node, 0), axis=0), parent)
-    t_max = jnp.where(
-        pop_ok, jnp.sum(jnp.where(sel_r, stack_tmax, f32(0.0)), axis=0),
-        t_max)
-
-    shift = jnp.clip(scale, 0, 31)
-    sh = _f2i(pos, jnp) >> shift[:, None]
-    pos = jnp.where(pop_ok[:, None], _i2f(sh << shift[:, None], jnp), pos)
+    # POP: ascend exactly one level (pos stays put — it is already inside the
+    # parent; rounding it to the parent grid gives the parent's corner)
+    new_scale = st["scale"] + 1
+    exit_root = pop & (new_scale >= S_MAX)
+    done = done | exit_root
+    pop_ok = pop & ~exit_root
+    pos = jnp.where(pop_ok[:, None], parent_pos, pos)
     idx = jnp.where(
-        pop_ok, (sh[:, 0] & 1) | ((sh[:, 1] & 1) << 1) | ((sh[:, 2] & 1) << 2),
-        idx_adv)
-    h = jnp.where(pop_ok, f32(0.0), h)
+        pop_ok,
+        (psh[:, 0] & 1) | ((psh[:, 1] & 1) << 1) | ((psh[:, 2] & 1) << 2),
+        idx)
+    parent = jnp.where(pop_ok, pptr, parent)
+    scale = jnp.where(pop_ok, new_scale, scale)
 
     out = dict(
-        pos=pos, idx=idx, parent=parent, scale=scale, scale_exp2=scale_exp2,
-        t_min=t_min, t_max=t_max, h=h, octant_mask=st["octant_mask"],
-        t_coef=st["t_coef"], t_bias=st["t_bias"], done=done,
+        pos=pos, idx=idx, parent=parent, scale=scale, t_min=t_min,
+        octant_mask=st["octant_mask"], t_coef=st["t_coef"],
+        t_bias=st["t_bias"], done=done, popped=pop_ok,
         hit_parent=hit_parent, hit_child=hit_child, hit_t=hit_t,
-        stack_node=stack_node, stack_tmax=stack_tmax,
         iters=st["iters"] + active.astype(i32),
     )
     if lod is not None:
@@ -449,8 +453,8 @@ TRACE_CHUNK = 65536
 
 
 @partial(jax.jit, static_argnames=("depth",))
-def _trace_jax(masks, child_base, leaf_base, origin, direction, depth,
-               root=None):
+def _trace_jax(masks, child_base, leaf_base, parent_ptr, origin, direction,
+               depth, root=None):
     n = origin.shape[0]
     if n > TRACE_CHUNK and n % TRACE_CHUNK == 0:
         g = n // TRACE_CHUNK
@@ -459,21 +463,22 @@ def _trace_jax(masks, child_base, leaf_base, origin, direction, depth,
         if root is None:
             res = jax.lax.map(
                 lambda od: _trace_core(masks, child_base, leaf_base,
-                                       od[0], od[1], depth, None),
+                                       parent_ptr, od[0], od[1], depth, None),
                 (o_c, d_c))
         else:
             r_c = jnp.broadcast_to(jnp.asarray(root, jnp.int32), (n,)).reshape(
                 g, TRACE_CHUNK)
             res = jax.lax.map(
                 lambda odr: _trace_core(masks, child_base, leaf_base,
-                                        odr[0], odr[1], depth, odr[2]),
+                                        parent_ptr, odr[0], odr[1], depth,
+                                        odr[2]),
                 (o_c, d_c, r_c))
         return TraceResult(
             res.hit_leaf.reshape(n), res.hit_t.reshape(n),
             res.hit_parent.reshape(n), res.hit_child.reshape(n),
             res.iters.reshape(n))
-    return _trace_core(masks, child_base, leaf_base, origin, direction,
-                       depth, root)
+    return _trace_core(masks, child_base, leaf_base, parent_ptr, origin,
+                       direction, depth, root)
 
 
 # Compaction schedule: once fewer than 1/COMPACT_FACTOR of a batch's rays
@@ -485,29 +490,20 @@ COMPACT_MIN = 2048  # don't bother below this width
 
 
 def _compact_take(st, perm):
-    out = {}
-    for k, v in st.items():
-        if v.ndim == 1:
-            out[k] = jnp.take(v, perm, axis=0)
-        elif k in ("stack_node", "stack_tmax"):
-            out[k] = jnp.take(v, perm, axis=1)
-        else:  # (N, 3)
-            out[k] = jnp.take(v, perm, axis=0)
-    return out
+    return {k: jnp.take(v, perm, axis=0) for k, v in st.items()}
 
 
-def _trace_core(masks, child_base, leaf_base, origin, direction, depth,
-                root=None):
-    nodes_packed = jnp.stack([masks, child_base], axis=1)
+def _trace_core(masks, child_base, leaf_base, parent_ptr, origin, direction,
+                depth, root=None):
+    nodes_packed = jnp.stack([masks, child_base, parent_ptr], axis=1)
     st0 = init_state(origin, direction, depth, jnp, root=root)
     n = origin.shape[0]
     st = dict(
         pos=st0.pos, idx=st0.idx, parent=st0.parent, scale=st0.scale,
-        scale_exp2=st0.scale_exp2, t_min=st0.t_min, t_max=st0.t_max,
-        h=st0.h, octant_mask=st0.octant_mask, t_coef=st0.t_coef,
-        t_bias=st0.t_bias, done=st0.done, hit_parent=jnp.full(n, -1, jnp.int32),
-        hit_child=st0.hit_child, hit_t=st0.hit_t,
-        stack_node=st0.stack_node, stack_tmax=st0.stack_tmax, iters=st0.iters,
+        t_min=st0.t_min, octant_mask=st0.octant_mask, t_coef=st0.t_coef,
+        t_bias=st0.t_bias, done=st0.done, popped=jnp.zeros(n, bool),
+        hit_parent=jnp.full(n, -1, jnp.int32),
+        hit_child=st0.hit_child, hit_t=st0.hit_t, iters=st0.iters,
     )
     n_max = max_iters_for_depth(depth)
 
@@ -531,7 +527,6 @@ def _trace_core(masks, child_base, leaf_base, origin, direction, depth,
     for phase, width in enumerate(widths):
         is_last = phase == len(widths) - 1
         next_width = None if is_last else widths[phase + 1]
-        stack_iota = jax.lax.broadcasted_iota(jnp.int32, (depth, width), 0)
 
         def cond(carry, _next=next_width, _last=is_last):
             i, st = carry
@@ -545,7 +540,7 @@ def _trace_core(masks, child_base, leaf_base, origin, direction, depth,
             i, st = carry
             extra = {"orig": st["orig"], "base_iters": st["base_iters"]}
             core = {k: v for k, v in st.items() if k not in extra}
-            core = _fast_step(core, nodes_packed, stack_iota, depth)
+            core = _fast_step(core, nodes_packed, depth)
             core.update(extra)
             return i + 1, core
 
@@ -582,12 +577,37 @@ def _trace_core(masks, child_base, leaf_base, origin, direction, depth,
     return TraceResult(hit_leaf, out_t, out_parent, out_child, out_iters)
 
 
+def derive_parent_ptr_jnp(masks, child_base):
+    """Device-side parent-pointer derivation (see octree.compute_parent_ptr):
+    scatter each parent id at its child-block start, forward-fill by running
+    max. O(n_nodes) once per call — used when a caller has only the raw
+    arrays; hot paths pass a precomputed parent_ptr instead."""
+    n = masks.shape[0]
+    vm = (masks >> 8) & 0xFF
+    lm = masks & 0xFF
+    has = (vm & ~lm) != 0
+    iota = jnp.arange(n, dtype=jnp.int32)
+    seed = jnp.zeros(n, jnp.int32).at[
+        jnp.where(has, child_base, 0)].max(jnp.where(has, iota, 0))
+    return jax.lax.cummax(seed, axis=0)
+
+
+def parent_ptr_of(svo):
+    """svo.parent_ptr, deriving it on the fly for SVOs built without one."""
+    if svo.parent_ptr is not None:
+        return jnp.asarray(svo.parent_ptr)
+    from raytracingtest_tpu.ops.octree import compute_parent_ptr
+    return jnp.asarray(compute_parent_ptr(np.asarray(svo.masks),
+                                          np.asarray(svo.child_base)))
+
+
 def trace_jax(svo, origin, direction) -> TraceResult:
     """XLA driver: jitted lax.while_loop over the whole ray batch."""
     return _trace_jax(
         jnp.asarray(svo.masks),
         jnp.asarray(svo.child_base),
         jnp.asarray(svo.leaf_base),
+        parent_ptr_of(svo),
         origin,
         direction,
         svo.depth,
@@ -606,8 +626,8 @@ class MultiTraceResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("depth", "k"))
-def _trace_multi_jax(masks, child_base, leaf_base, origin, direction, depth,
-                     k, root=None):
+def _trace_multi_jax(masks, child_base, leaf_base, parent_ptr, origin,
+                     direction, depth, k, root=None):
     n = origin.shape[0]
     if n > TRACE_CHUNK and n % TRACE_CHUNK == 0:
         g = n // TRACE_CHUNK
@@ -615,38 +635,37 @@ def _trace_multi_jax(masks, child_base, leaf_base, origin, direction, depth,
         d_c = direction.reshape(g, TRACE_CHUNK, 3)
         res = jax.lax.map(
             lambda od: _trace_multi_core(masks, child_base, leaf_base,
-                                         od[0], od[1], depth, k, None),
+                                         parent_ptr, od[0], od[1], depth, k,
+                                         None),
             (o_c, d_c))
         return MultiTraceResult(
             res.hit_leaf.reshape(n, k), res.t_in.reshape(n, k),
             res.t_out.reshape(n, k), res.count.reshape(n),
             res.iters.reshape(n))
-    return _trace_multi_core(masks, child_base, leaf_base, origin, direction,
-                             depth, k, root)
+    return _trace_multi_core(masks, child_base, leaf_base, parent_ptr,
+                             origin, direction, depth, k, root)
 
 
-def _trace_multi_core(masks, child_base, leaf_base, origin, direction, depth,
-                      k, root=None):
+def _trace_multi_core(masks, child_base, leaf_base, parent_ptr, origin,
+                      direction, depth, k, root=None):
     """K-hit traversal: like _trace_core but a leaf hit records a segment
     (leaf, t_in, t_out) into its slot and the ray continues via ADVANCE
-    (the scalar oracle's collect_all mode, reference/traverse.py)."""
+    (the scalar oracle's collect_all mode, reference/traverse.py). Stackless
+    like _fast_step (recomputed t_max, one-level POP via parent_ptr)."""
     f32, i32 = jnp.float32, jnp.int32
-    s0 = S_MAX - depth
-    nodes_packed = jnp.stack([masks, child_base], axis=1)
+    nodes_packed = jnp.stack([masks, child_base, parent_ptr], axis=1)
     st0 = init_state(origin, direction, depth, jnp, root=root)
     n = origin.shape[0]
     st = dict(
         pos=st0.pos, idx=st0.idx, parent=st0.parent, scale=st0.scale,
-        scale_exp2=st0.scale_exp2, t_min=st0.t_min, t_max=st0.t_max,
-        h=st0.h, octant_mask=st0.octant_mask, t_coef=st0.t_coef,
-        t_bias=st0.t_bias, done=st0.done,
-        stack_node=st0.stack_node, stack_tmax=st0.stack_tmax, iters=st0.iters,
+        t_min=st0.t_min, octant_mask=st0.octant_mask, t_coef=st0.t_coef,
+        t_bias=st0.t_bias, done=st0.done, popped=jnp.zeros(n, bool),
+        iters=st0.iters,
         hits_leaf=jnp.full((k, n), -1, i32),
         hits_tin=jnp.zeros((k, n), f32),
         hits_tout=jnp.zeros((k, n), f32),
         count=jnp.zeros(n, i32),
     )
-    stack_iota = jax.lax.broadcasted_iota(jnp.int32, (depth, n), 0)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (k, n), 0)
     # allow extra iterations for pass-through rays
     n_max = max_iters_for_depth(depth) + 8 * k
@@ -662,20 +681,29 @@ def _trace_multi_core(masks, child_base, leaf_base, origin, direction, depth,
         nd = jnp.take(nodes_packed, st["parent"], axis=0)
         desc = nd[:, 0]
         cbase = nd[:, 1]
+        pptr = nd[:, 2]
         vm = (desc >> 8) & 0xFF
         lm = desc & 0xFF
 
+        scale = st["scale"]
+        scale_exp2 = _i2f((scale - S_MAX + 127) << 23, jnp)
         pos = st["pos"]
         t_corner = pos * st["t_coef"] - st["t_bias"]
         tc_max = jnp.min(t_corner, axis=1)
 
+        pshift = scale + 1
+        psh = _f2i(pos, jnp) >> pshift[:, None]
+        parent_pos = _i2f(psh << pshift[:, None], jnp)
+        t_root = jnp.min(st["t_coef"] - st["t_bias"], axis=1)
+        t_max = jnp.minimum(
+            jnp.min(parent_pos * st["t_coef"] - st["t_bias"], axis=1), t_root)
+
         child_shift = st["idx"] ^ st["octant_mask"] ^ 7
         child_valid = ((vm >> child_shift) & 1) != 0
-        can = child_valid & (st["t_min"] <= st["t_max"]) & active
+        can = child_valid & (st["t_min"] <= t_max) & active & ~st["popped"]
 
-        tv_max = jnp.minimum(st["t_max"], tc_max)
-        half = st["scale_exp2"] * f32(0.5)
-        t_center = half[:, None] * st["t_coef"] + t_corner
+        tv_max = jnp.minimum(t_max, tc_max)
+        half = scale_exp2 * f32(0.5)
         enter = can & (st["t_min"] <= tv_max)
         below = (jnp.int32(1) << child_shift) - 1
         leaf_bit = ((lm >> child_shift) & 1) != 0
@@ -693,16 +721,10 @@ def _trace_multi_core(masks, child_base, leaf_base, origin, direction, depth,
 
         # ---- PUSH (only for non-leaf entries) ----
         push = enter & ~leaf_bit
-        slot = jnp.clip(st["scale"] - s0, 0, depth - 1)
-        write = push & (tc_max < st["h"])
-        sel_w = (stack_iota == slot[None]) & write[None]
-        stack_node = jnp.where(sel_w, st["parent"][None], st["stack_node"])
-        stack_tmax = jnp.where(sel_w, st["t_max"][None], st["stack_tmax"])
-        h = jnp.where(push, tc_max, st["h"])
-
         node_rank = popc8(vm & ~lm & below, jnp)
         parent = jnp.where(push, cbase + node_rank, st["parent"])
 
+        t_center = half[:, None] * st["t_coef"] + t_corner
         upper = t_center > st["t_min"][:, None]
         bit = jnp.asarray([1, 2, 4], i32)
         idx_descend = jnp.sum(jnp.where(upper, bit[None, :], 0), axis=1,
@@ -711,58 +733,40 @@ def _trace_multi_core(masks, child_base, leaf_base, origin, direction, depth,
 
         idx = jnp.where(push, idx_descend, st["idx"])
         pos = jnp.where(push[:, None], pos_descend, pos)
-        scale = jnp.where(push, st["scale"] - 1, st["scale"])
-        scale_exp2 = jnp.where(push, half, st["scale_exp2"])
-        t_max = jnp.where(push, tv_max, st["t_max"])
+        scale = jnp.where(push, scale - 1, scale)
 
-        # ---- ADVANCE (hit rays advance too, unless they just filled up) --
-        adv = active & ~push & ~(count >= k)
+        # ---- ADVANCE / POP (hit rays advance too unless they filled up) --
+        adv_any = active & ~push & ~(count >= k)
         step_bits = t_corner <= tc_max[:, None]
         step_mask = jnp.sum(jnp.where(step_bits, bit[None, :], 0), axis=1,
                             dtype=i32)
-        pos = pos - jnp.where(step_bits & adv[:, None], scale_exp2[:, None],
+        idx_adv = st["idx"] ^ step_mask
+        pop = adv_any & ((idx_adv & step_mask) != 0)
+        move = adv_any & ~pop
+        t_min = jnp.where(adv_any, jnp.maximum(st["t_min"], tc_max),
+                          st["t_min"])
+
+        pos = pos - jnp.where(step_bits & move[:, None], scale_exp2[:, None],
                               f32(0.0))
-        t_min = jnp.where(adv, jnp.maximum(st["t_min"], tc_max), st["t_min"])
-        idx_adv = jnp.where(adv, idx ^ step_mask, idx)
+        idx = jnp.where(move, idx_adv, idx)
 
-        # ---- POP ----
-        pop = adv & ((idx_adv & step_mask) != 0)
-        xor_bits = _f2i(pos, jnp) ^ _f2i(pos + scale_exp2[:, None], jnp)
-        differing = jnp.sum(jnp.where(step_bits, xor_bits, 0), axis=1,
-                            dtype=i32) | 1
-        new_scale = (_f2i(differing.astype(f32), jnp) >> 23) - 127
-        oob = pop & ((new_scale >= S_MAX) | (new_scale < s0))
-        pop_ok = pop & ~oob
-        done = done | oob
-
-        scale = jnp.where(pop_ok, new_scale, scale)
-        scale_exp2 = jnp.where(
-            pop_ok,
-            _i2f((jnp.clip(new_scale, s0, S_MAX - 1) - S_MAX + 127) << 23,
-                 jnp), scale_exp2)
-        slot2 = jnp.clip(scale - s0, 0, depth - 1)
-        sel_r = stack_iota == slot2[None]
-        parent = jnp.where(
-            pop_ok, jnp.sum(jnp.where(sel_r, stack_node, 0), axis=0), parent)
-        t_max = jnp.where(
-            pop_ok, jnp.sum(jnp.where(sel_r, stack_tmax, f32(0.0)), axis=0),
-            t_max)
-
-        shift = jnp.clip(scale, 0, 31)
-        sh = _f2i(pos, jnp) >> shift[:, None]
-        pos = jnp.where(pop_ok[:, None], _i2f(sh << shift[:, None], jnp), pos)
+        new_scale = st["scale"] + 1
+        exit_root = pop & (new_scale >= S_MAX)
+        done = done | exit_root
+        pop_ok = pop & ~exit_root
+        pos = jnp.where(pop_ok[:, None], parent_pos, pos)
         idx = jnp.where(
             pop_ok,
-            (sh[:, 0] & 1) | ((sh[:, 1] & 1) << 1) | ((sh[:, 2] & 1) << 2),
-            idx_adv)
-        h = jnp.where(pop_ok, f32(0.0), h)
+            (psh[:, 0] & 1) | ((psh[:, 1] & 1) << 1) | ((psh[:, 2] & 1) << 2),
+            idx)
+        parent = jnp.where(pop_ok, pptr, parent)
+        scale = jnp.where(pop_ok, new_scale, scale)
 
         st = dict(
-            pos=pos, idx=idx, parent=parent, scale=scale,
-            scale_exp2=scale_exp2, t_min=t_min, t_max=t_max, h=h,
+            pos=pos, idx=idx, parent=parent, scale=scale, t_min=t_min,
             octant_mask=st["octant_mask"], t_coef=st["t_coef"],
-            t_bias=st["t_bias"], done=done, stack_node=stack_node,
-            stack_tmax=stack_tmax, iters=st["iters"] + active.astype(i32),
+            t_bias=st["t_bias"], done=done, popped=pop_ok,
+            iters=st["iters"] + active.astype(i32),
             hits_leaf=hits_leaf, hits_tin=hits_tin, hits_tout=hits_tout,
             count=count,
         )
@@ -774,26 +778,19 @@ def _trace_multi_core(masks, child_base, leaf_base, origin, direction, depth,
         st["iters"])
 
 
-@partial(jax.jit, static_argnames=("depth",))
-def _trace_lod_jax(masks, child_base, leaf_base, origin, direction, depth,
-                   coef, bias):
-    """Trace with LOD early-exit: descent stops when the child voxel size
-    drops below the ray footprint (t * coef + bias), reporting the interior
-    node instead of a leaf (Trace.cu:135-136 ray_size_coef semantics)."""
-    nodes_packed = jnp.stack([masks, child_base], axis=1)
+def _trace_lod_core(masks, child_base, leaf_base, parent_ptr, origin,
+                    direction, depth, coef, bias):
+    nodes_packed = jnp.stack([masks, child_base, parent_ptr], axis=1)
     st0 = init_state(origin, direction, depth, jnp)
     n = origin.shape[0]
     st = dict(
         pos=st0.pos, idx=st0.idx, parent=st0.parent, scale=st0.scale,
-        scale_exp2=st0.scale_exp2, t_min=st0.t_min, t_max=st0.t_max,
-        h=st0.h, octant_mask=st0.octant_mask, t_coef=st0.t_coef,
-        t_bias=st0.t_bias, done=st0.done,
+        t_min=st0.t_min, octant_mask=st0.octant_mask, t_coef=st0.t_coef,
+        t_bias=st0.t_bias, done=st0.done, popped=jnp.zeros(n, bool),
         hit_parent=jnp.full(n, -1, jnp.int32), hit_child=st0.hit_child,
         hit_t=st0.hit_t, hit_node=jnp.full(n, -1, jnp.int32),
-        stack_node=st0.stack_node, stack_tmax=st0.stack_tmax,
         iters=st0.iters,
     )
-    stack_iota = jax.lax.broadcasted_iota(jnp.int32, (depth, n), 0)
     n_max = max_iters_for_depth(depth)
     lod = (jnp.float32(coef), jnp.float32(bias))
 
@@ -803,8 +800,7 @@ def _trace_lod_jax(masks, child_base, leaf_base, origin, direction, depth,
 
     def body(carry):
         i, st = carry
-        return i + 1, _fast_step(st, nodes_packed, stack_iota, depth,
-                                 lod=lod)
+        return i + 1, _fast_step(st, nodes_packed, depth, lod=lod)
 
     _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
 
@@ -821,13 +817,38 @@ def _trace_lod_jax(masks, child_base, leaf_base, origin, direction, depth,
                        st["hit_child"], st["iters"], st["hit_node"])
 
 
+@partial(jax.jit, static_argnames=("depth",))
+def _trace_lod_jax(masks, child_base, leaf_base, parent_ptr, origin,
+                   direction, depth, coef, bias):
+    """Trace with LOD early-exit: descent stops when the child voxel size
+    drops below the ray footprint (t * coef + bias), reporting the interior
+    node instead of a leaf (Trace.cu:135-136 ray_size_coef semantics)."""
+    n = origin.shape[0]
+    if n > TRACE_CHUNK and n % TRACE_CHUNK == 0:
+        g = n // TRACE_CHUNK
+        o_c = origin.reshape(g, TRACE_CHUNK, 3)
+        d_c = direction.reshape(g, TRACE_CHUNK, 3)
+        res = jax.lax.map(
+            lambda od: _trace_lod_core(masks, child_base, leaf_base,
+                                       parent_ptr, od[0], od[1], depth,
+                                       coef, bias),
+            (o_c, d_c))
+        return TraceResult(
+            res.hit_leaf.reshape(n), res.hit_t.reshape(n),
+            res.hit_parent.reshape(n), res.hit_child.reshape(n),
+            res.iters.reshape(n), res.hit_node.reshape(n))
+    return _trace_lod_core(masks, child_base, leaf_base, parent_ptr, origin,
+                           direction, depth, coef, bias)
+
+
 def trace_lod_jax(svo, origin, direction, pixel_size_coef,
                   pixel_size_bias=0.0) -> TraceResult:
     """LOD trace: pixel footprint grows as t * coef + bias (octree-local
     units). For a perspective camera, coef ~= 2*tan(fov/2)/image_height."""
     return _trace_lod_jax(
         jnp.asarray(svo.masks), jnp.asarray(svo.child_base),
-        jnp.asarray(svo.leaf_base), jnp.asarray(origin, jnp.float32),
+        jnp.asarray(svo.leaf_base), parent_ptr_of(svo),
+        jnp.asarray(origin, jnp.float32),
         jnp.asarray(direction, jnp.float32), svo.depth,
         float(pixel_size_coef), float(pixel_size_bias))
 
@@ -835,5 +856,6 @@ def trace_lod_jax(svo, origin, direction, pixel_size_coef,
 def trace_multi_jax(svo, origin, direction, k=4) -> MultiTraceResult:
     return _trace_multi_jax(
         jnp.asarray(svo.masks), jnp.asarray(svo.child_base),
-        jnp.asarray(svo.leaf_base), jnp.asarray(origin, jnp.float32),
+        jnp.asarray(svo.leaf_base), parent_ptr_of(svo),
+        jnp.asarray(origin, jnp.float32),
         jnp.asarray(direction, jnp.float32), svo.depth, k)

@@ -266,6 +266,8 @@ def make_sharded_trace(mesh, ls: LevelShardedSVO, max_octants: int = 4):
         arena_m = arena_m3[0]
         arena_c = arena_c3[0]
         arena_l = arena_l3[0]
+        trunk_p = traverse.derive_parent_ptr_jnp(trunk_m, trunk_c)
+        arena_p = traverse.derive_parent_ptr_jnp(arena_m, arena_c)
         my_dev = jax.lax.axis_index(RAY_AXIS)
         n = o.shape[0]
         t_off = jnp.zeros(n, jnp.float32)
@@ -277,7 +279,7 @@ def make_sharded_trace(mesh, ls: LevelShardedSVO, max_octants: int = 4):
 
         for _ in range(max_octants):
             o_cur = o + t_off[:, None] * d
-            r1 = traverse._trace_core(trunk_m, trunk_c, trunk_l,
+            r1 = traverse._trace_core(trunk_m, trunk_c, trunk_l, trunk_p,
                                       o_cur, d, trunk_depth)
             found = (r1.hit_leaf >= 0) & ~done
             oct_id = jnp.where(found, r1.hit_leaf, 0)
@@ -287,7 +289,7 @@ def make_sharded_trace(mesh, ls: LevelShardedSVO, max_octants: int = 4):
             c_org = jnp.take(oct_origin, oct_id, axis=0)
             o_loc = (o_cur - c_org) / size
             roots = jnp.take(oct_root, oct_id)
-            r2 = traverse._trace_core(arena_m, arena_c, arena_l,
+            r2 = traverse._trace_core(arena_m, arena_c, arena_l, arena_p,
                                       o_loc, d, sub_depth, root=roots)
             hit2_mine = (r2.hit_leaf >= 0) & mine
 

@@ -78,10 +78,11 @@ def render_numpy(svo, camera: Camera, light: Light = Light(),
 
 
 @partial(jax.jit, static_argnames=("depth", "height", "width"))
-def _render_jax(masks, child_base, leaf_base, leaf_albedo, leaf_normal,
-                o, d, depth, height, width, light_dir, light_intensity,
-                light_ambient):
-    res = traverse._trace_jax(masks, child_base, leaf_base, o, d, depth)
+def _render_jax(masks, child_base, leaf_base, parent_ptr, leaf_albedo,
+                leaf_normal, o, d, depth, height, width, light_dir,
+                light_intensity, light_ambient):
+    res = traverse._trace_jax(masks, child_base, leaf_base, parent_ptr, o, d,
+                              depth)
     hit = res.hit_leaf >= 0
     safe_leaf = jnp.where(hit, res.hit_leaf, 0)
     if leaf_albedo.shape[0] == 0:  # empty scene: no leaf can be hit
@@ -104,7 +105,8 @@ def render_jax(svo, camera: Camera, light: Light = Light(),
     o, d = frame.world_to_local(o, d, np)
     return _render_jax(
         jnp.asarray(svo.masks), jnp.asarray(svo.child_base),
-        jnp.asarray(svo.leaf_base), jnp.asarray(svo.leaf_albedo),
+        jnp.asarray(svo.leaf_base), traverse.parent_ptr_of(svo),
+        jnp.asarray(svo.leaf_albedo),
         jnp.asarray(svo.leaf_normal),
         jnp.asarray(o), jnp.asarray(d), svo.depth,
         camera.height, camera.width,

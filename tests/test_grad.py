@@ -64,7 +64,8 @@ def test_grads_match_builtin_autodiff(setup):
     def f_builtin(albedo, normal, density):
         from raytracingtest_tpu.ops import traverse
         res = traverse._trace_jax(svo.masks, svo.child_base, svo.leaf_base,
-                                  o, d, svo.depth)
+                                  traverse.parent_ptr_of(svo), o, d,
+                                  svo.depth)
         hit_leaf = jax.lax.stop_gradient(res.hit_leaf)
         # rebuild shading with plain jnp.take (builtin VJP)
         hit = hit_leaf >= 0
