@@ -36,8 +36,12 @@ def main():
     scene = os.environ.get("BENCH_SCENE", "terrain")
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     mode = os.environ.get("BENCH_MODE", "fwdbwd")
+    # brick = the production gather-light traversal (ops/brick.py);
+    # plain = the reference XLA ESVO loop (ops/traverse.py)
+    path = os.environ.get("BENCH_PATH", "brick")
 
     from raytracingtest_tpu.io import checkpoint as _ckpt
+    from raytracingtest_tpu.ops import brick as brick_mod
 
     cache = f"/tmp/bench_svo_{scene}_d{depth}.npz"
     t0 = time.time()
@@ -47,6 +51,9 @@ def main():
         svo_host = build_svo(get_scene(scene), depth).svo
         _ckpt.save_svo(svo_host, cache)
     svo = svo_host.device()
+    use_brick = path == "brick" and depth >= brick_mod.BRICK_LEVELS + 1
+    if use_brick:
+        bsvo = brick_mod.make_brick_svo(svo_host).device()
     build_s = time.time() - t0
     print(
         f"# build: depth={depth} scene={scene} nodes={svo.n_nodes} "
@@ -69,7 +76,24 @@ def main():
     # each run() ends in a host transfer of a value that depends on every
     # output — block_until_ready alone is not a reliable fence on the
     # experimental axon backend
-    if mode == "fwd":
+    if use_brick:
+        if mode == "fwd":
+            def run(tag):
+                img = diff.render_diff_brick(
+                    albedo, normal, density, bsvo.top_masks, bsvo.top_child,
+                    bsvo.top_parent, bsvo.bricks, o, d, depth,
+                    bsvo.top_depth, light + tag)
+                return float(jnp.sum(img))
+        else:
+            def run(tag):
+                loss, grads = diff.loss_and_grads_brick(
+                    albedo, normal, density, bsvo.top_masks, bsvo.top_child,
+                    bsvo.top_parent, bsvo.bricks, o, d, depth,
+                    bsvo.top_depth, light + tag, target)
+                gsum = sum(jnp.sum(jnp.abs(g))
+                           for g in jax.tree_util.tree_leaves(grads))
+                return float(loss + gsum)
+    elif mode == "fwd":
         def run(tag):
             img = diff.render_diff(albedo, normal, density, svo.masks,
                                    svo.child_base, svo.leaf_base, o, d,

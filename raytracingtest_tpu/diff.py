@@ -192,3 +192,37 @@ def volumetric_l2_loss(albedo, normal, density, masks, child_base, leaf_base,
                             leaf_base, o, d, depth, light_dir, k=k,
                             parent_ptr=parent_ptr)
     return jnp.mean((img - target) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# brick-accelerated hot path (ops/brick.py): same differentiable shading,
+# traversal via the gather-light brick traversal. Used by bench.py and the
+# production fit/render drivers for depth >= 4 SVOs.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("depth", "top_depth"))
+def render_diff_brick(albedo, normal, density, top_masks, top_child,
+                      top_parent, bricks, o, d, depth, top_depth, light_dir,
+                      light_intensity=1.3, light_ambient=0.08):
+    """Differentiable render through the brick traversal (bit-identical hits
+    to render_diff — tested). Returns (N, 3) radiance."""
+    from raytracingtest_tpu.ops import brick as brick_mod
+    res = brick_mod._trace_brick_jax(top_masks, top_child, top_parent,
+                                     bricks, o, d, depth, top_depth)
+    hit_leaf = jax.lax.stop_gradient(res.hit_leaf)
+    return shade_diff(hit_leaf, d, albedo, normal, density,
+                      light_dir, light_intensity, light_ambient)
+
+
+def l2_loss_brick(albedo, normal, density, top_masks, top_child, top_parent,
+                  bricks, o, d, depth, top_depth, light_dir, target):
+    img = render_diff_brick(albedo, normal, density, top_masks, top_child,
+                            top_parent, bricks, o, d, depth, top_depth,
+                            light_dir)
+    return jnp.mean((img - target) ** 2)
+
+
+loss_and_grads_brick = jax.jit(
+    jax.value_and_grad(l2_loss_brick, argnums=(0, 1, 2)),
+    static_argnames=("depth", "top_depth"),
+)

@@ -17,10 +17,18 @@ AABB and re-enter phase 1, bounded like the reference's chunk loop
 so fit gradients stay device-local (no cross-shard scatter) and only the
 scalar loss is psum'ed.
 
-This trades compute replication (every device runs every phase-1 trace) for
-zero cross-device pointer chasing — the right trade when the tree, not the
-ray batch, is what exceeds HBM. The alternative (ray exchange via
-all_to_all) is the round-2 optimization.
+Three entry points build on the same phase loop:
+  * make_sharded_trace     — rays replicated, content sharded (simple/robust)
+  * make_sharded_fit_step  — level-sharded TRAINING: voxel params sharded
+    with their arenas, per-device backward through the phase-2 trace, only
+    the (replicated) scalar loss crosses devices; gradients never leave
+    their owner (BASELINE config 5 semantics)
+  * make_exchange_trace    — rays sharded AND content sharded: each device
+    trunk-traces only its own ray shard, then an all_to_all routes ray
+    packets to their hit octant's owner, owners trace their arena, and a
+    second all_to_all returns results — per-device deep-trace work drops to
+    ~N/n_dev instead of N (the reference has no distribution at all; the
+    behavioral spec for octant stitching is Clipmap.cs:153-169)
 """
 
 from __future__ import annotations
@@ -144,6 +152,9 @@ class LevelShardedSVO:
     arena_albedo: np.ndarray    # f32 [n_dev, cap_leaves, 3]
     arena_normal: np.ndarray
     arena_density: np.ndarray
+    # global leaf interval per octant (for mapping arena rows <-> global ids)
+    octant_leaf_lo: np.ndarray = None   # i32 [n_oct]
+    octant_n_leaves: np.ndarray = None  # i32 [n_oct]
 
     @property
     def n_devices(self):
@@ -228,6 +239,13 @@ def split_svo(result_or_svo, split_level: int, n_devices: int,
     size = 2.0 ** (-split_level)
     origins = node_coords_level.astype(np.float32) * size
 
+    # global leaf interval per octant (octants and leaves are both Morton-
+    # ordered, so the ranges tile the leaf array in octant order) — used to
+    # map arena-local leaf rows/grads back to global leaf ids
+    n_leaves_per = np.array([s.n_leaves for s in subs], np.int64)
+    leaf_lo = np.concatenate([[0], np.cumsum(n_leaves_per)[:-1]]).astype(
+        np.int32)
+
     return LevelShardedSVO(
         trunk_masks=trunk_masks, trunk_child=trunk_child,
         trunk_leaf=trunk_leaf, trunk_depth=split_level,
@@ -237,6 +255,7 @@ def split_svo(result_or_svo, split_level: int, n_devices: int,
         sub_depth=svo.depth - split_level,
         arena_masks=am, arena_child=ac, arena_leaf=al,
         arena_albedo=aa, arena_normal=an, arena_density=ad,
+        octant_leaf_lo=leaf_lo, octant_n_leaves=n_leaves_per.astype(np.int32),
     )
 
 
@@ -262,52 +281,14 @@ def make_sharded_trace(mesh, ls: LevelShardedSVO, max_octants: int = 4):
     )
     def _trace(trunk_m, trunk_c, trunk_l, oct_owner, oct_root, oct_leaf_off,
                oct_origin, arena_m3, arena_c3, arena_l3, o, d):
-        # arenas arrive device-sharded on axis 0 -> local block (1, cap)
-        arena_m = arena_m3[0]
-        arena_c = arena_c3[0]
-        arena_l = arena_l3[0]
-        trunk_p = traverse.derive_parent_ptr_jnp(trunk_m, trunk_c)
-        arena_p = traverse.derive_parent_ptr_jnp(arena_m, arena_c)
-        my_dev = jax.lax.axis_index(RAY_AXIS)
-        n = o.shape[0]
-        t_off = jnp.zeros(n, jnp.float32)
-        done = jnp.zeros(n, bool)
-        out_leaf = jnp.full(n, -1, jnp.int32)
-        out_t = jnp.zeros(n, jnp.float32)
-        out_owner = jnp.full(n, -1, jnp.int32)
-        eps = jnp.float32(1e-5)
-
-        for _ in range(max_octants):
-            o_cur = o + t_off[:, None] * d
-            r1 = traverse._trace_core(trunk_m, trunk_c, trunk_l, trunk_p,
-                                      o_cur, d, trunk_depth)
-            found = (r1.hit_leaf >= 0) & ~done
-            oct_id = jnp.where(found, r1.hit_leaf, 0)
-            owner = jnp.take(oct_owner, oct_id)
-            mine = found & (owner == my_dev)
-
-            c_org = jnp.take(oct_origin, oct_id, axis=0)
-            o_loc = (o_cur - c_org) / size
-            roots = jnp.take(oct_root, oct_id)
-            r2 = traverse._trace_core(arena_m, arena_c, arena_l, arena_p,
-                                      o_loc, d, sub_depth, root=roots)
-            hit2_mine = (r2.hit_leaf >= 0) & mine
-
-            # did ANY device's owned content stop this ray this phase?
-            hit2_any = jax.lax.psum(hit2_mine.astype(jnp.int32), RAY_AXIS) > 0
-            new = hit2_mine & ~done
-            out_owner = jnp.where(new, my_dev, out_owner)
-            out_leaf = jnp.where(new, r2.hit_leaf, out_leaf)
-            out_t = jnp.where(new, t_off + r2.hit_t * size, out_t)
-            done = done | (hit2_any & found) | ~found
-
-            # found an octant but no content: advance past its AABB
-            t_exit = _aabb_exit_jnp(o_cur, d, c_org, size)
-            adv = found & ~hit2_any
-            t_off = jnp.where(adv, t_off + t_exit + eps, t_off)
+        out_leaf, out_t, out_owner = _phase_loop_local(
+            trunk_m, trunk_c, trunk_l, oct_owner, oct_root, oct_origin,
+            arena_m3[0], arena_c3[0], arena_l3[0], o, d, trunk_depth,
+            sub_depth, size, max_octants)
 
         # combine across devices: each ray's record lives on its owner;
         # psum with owner masking produces the global per-ray answer
+        my_dev = jax.lax.axis_index(RAY_AXIS)
         has = out_owner == my_dev
         any_owner = jax.lax.psum(has.astype(jnp.int32), RAY_AXIS) > 0
         leaf_sum = jax.lax.psum(jnp.where(has, out_leaf, 0), RAY_AXIS)
@@ -315,6 +296,275 @@ def make_sharded_trace(mesh, ls: LevelShardedSVO, max_octants: int = 4):
         out_t = jax.lax.psum(jnp.where(has, out_t, 0.0), RAY_AXIS)
         out_owner = jax.lax.pmax(out_owner, RAY_AXIS)
         return out_leaf, out_t, out_owner
+
+    return _trace
+
+
+def _phase_loop_local(trunk_m, trunk_c, trunk_l, oct_owner, oct_root,
+                      oct_origin, arena_m, arena_c, arena_l, o, d,
+                      trunk_depth, sub_depth, size, max_octants):
+    """Per-device phase loop (runs inside shard_map): replicated rays against
+    the replicated trunk + this device's arena. Returns per-ray
+    (leaf_in_my_arena, t_world, owner) where leaf is valid only on the owner
+    device (elsewhere -1/0)."""
+    trunk_p = traverse.derive_parent_ptr_jnp(trunk_m, trunk_c)
+    arena_p = traverse.derive_parent_ptr_jnp(arena_m, arena_c)
+    my_dev = jax.lax.axis_index(RAY_AXIS)
+    n = o.shape[0]
+    t_off = jnp.zeros(n, jnp.float32)
+    done = jnp.zeros(n, bool)
+    out_leaf = jnp.full(n, -1, jnp.int32)
+    out_t = jnp.zeros(n, jnp.float32)
+    out_owner = jnp.full(n, -1, jnp.int32)
+    eps = jnp.float32(1e-5)
+
+    for _ in range(max_octants):
+        o_cur = o + t_off[:, None] * d
+        r1 = traverse._trace_core(trunk_m, trunk_c, trunk_l, trunk_p,
+                                  o_cur, d, trunk_depth)
+        found = (r1.hit_leaf >= 0) & ~done
+        oct_id = jnp.where(found, r1.hit_leaf, 0)
+        owner = jnp.take(oct_owner, oct_id)
+        mine = found & (owner == my_dev)
+
+        c_org = jnp.take(oct_origin, oct_id, axis=0)
+        o_loc = (o_cur - c_org) / size
+        roots = jnp.take(oct_root, oct_id)
+        r2 = traverse._trace_core(arena_m, arena_c, arena_l, arena_p,
+                                  o_loc, d, sub_depth, root=roots)
+        hit2_mine = (r2.hit_leaf >= 0) & mine
+
+        # did ANY device's owned content stop this ray this phase?
+        hit2_any = jax.lax.psum(hit2_mine.astype(jnp.int32), RAY_AXIS) > 0
+        new = hit2_mine & ~done
+        out_owner = jnp.where(new, my_dev, out_owner)
+        out_leaf = jnp.where(new, r2.hit_leaf, out_leaf)
+        out_t = jnp.where(new, t_off + r2.hit_t * size, out_t)
+        done = done | (hit2_any & found) | ~found
+
+        # found an octant but no content: advance past its AABB
+        t_exit = _aabb_exit_jnp(o_cur, d, c_org, size)
+        adv = found & ~hit2_any
+        t_off = jnp.where(adv, t_off + t_exit + eps, t_off)
+
+    return out_leaf, out_t, out_owner
+
+
+def make_sharded_fit_step(mesh, ls: LevelShardedSVO, max_octants: int = 4,
+                          light_intensity: float = 1.3,
+                          light_ambient: float = 0.08):
+    """Level-sharded TRAINING step (BASELINE config 5 semantics): voxel
+    parameters stay sharded with their arenas; each device backprops through
+    its own phase-2 trace + shading contribution; gradients are device-local
+    (out_specs keep them sharded) and only the replicated scalar loss is
+    shared.
+
+    Returns fn(arena_albedo, arena_normal, arena_density, trunk..., octant
+    tables..., arena structure..., o, d, light_dir, target) ->
+    (loss, (d_albedo, d_normal, d_density)) with grads sharded like the
+    params. Matches the single-tree diff.loss_and_grads semantics (tested on
+    the 8-device CPU mesh)."""
+    from raytracingtest_tpu.render import sky_color
+
+    trunk_depth = ls.trunk_depth
+    sub_depth = ls.sub_depth
+    size = ls.octant_size
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(RAY_AXIS, None, None), P(RAY_AXIS, None, None),
+                  P(RAY_AXIS, None),
+                  P(), P(), P(), P(), P(), P(),
+                  P(RAY_AXIS, None), P(RAY_AXIS, None), P(RAY_AXIS, None),
+                  P(), P(), P(), P()),
+        out_specs=(P(), (P(RAY_AXIS, None, None), P(RAY_AXIS, None, None),
+                         P(RAY_AXIS, None))),
+        check_vma=False,
+    )
+    def _step(alb3, nrm3, den3, trunk_m, trunk_c, trunk_l, oct_owner,
+              oct_root, oct_origin, arena_m3, arena_c3, arena_l3, o, d,
+              light_dir, target):
+        my_dev = jax.lax.axis_index(RAY_AXIS)
+        out_leaf, out_t, out_owner = _phase_loop_local(
+            trunk_m, trunk_c, trunk_l, oct_owner, oct_root, oct_origin,
+            arena_m3[0], arena_c3[0], arena_l3[0], o, d, trunk_depth,
+            sub_depth, size, max_octants)
+        out_leaf = jax.lax.stop_gradient(out_leaf)
+        out_owner = jax.lax.stop_gradient(out_owner)
+
+        mine = out_owner == my_dev
+        safe_leaf = jnp.where(mine, out_leaf, 0)
+        any_hit = jax.lax.psum(mine.astype(jnp.int32), RAY_AXIS) > 0
+        sky = sky_color(d, jnp)
+        n_rays = o.shape[0]
+
+        # Each ray's error term is owned by exactly one device (its hit's
+        # owner) or by nobody (sky). Differentiate ONLY the locally-owned
+        # part: the global loss is a disjoint sum over owners, so
+        # d(global)/d(my params) == d(my part)/d(my params) exactly — no AD
+        # through collectives (whose transpose is unreliable under
+        # check_vma=False).
+        def local_part(albedo, normal, density):
+            alb = jnp.take(albedo[0], safe_leaf, axis=0)
+            nrm = jnp.take(normal[0], safe_leaf, axis=0)
+            den = jnp.take(density[0], safe_leaf)
+            ldir = light_dir / jnp.sqrt(jnp.sum(light_dir * light_dir))
+            nn = nrm / jnp.sqrt(
+                jnp.maximum(jnp.sum(nrm * nrm, -1, keepdims=True), 1e-12))
+            ndotl = jnp.maximum(jnp.sum(nn * (-ldir)[None, :], axis=-1), 0.0)
+            lit = alb * (ndotl * light_intensity + light_ambient)[:, None]
+            alpha = jnp.clip(den, 0.0, 1.0)[:, None]
+            shaded = alpha * lit + (1.0 - alpha) * sky
+            err = jnp.sum((shaded - target) ** 2, axis=1)
+            return jnp.sum(jnp.where(mine, err, 0.0)) / (3.0 * n_rays)
+
+        part, grads = jax.value_and_grad(local_part, argnums=(0, 1, 2))(
+            alb3, nrm3, den3)
+        sky_err = jnp.sum(
+            jnp.where(~any_hit[:, None], (sky - target) ** 2, 0.0))
+        loss = jax.lax.psum(part, RAY_AXIS) + sky_err / (3.0 * n_rays)
+        return loss, grads
+
+    return _step
+
+
+def make_exchange_trace(mesh, ls: LevelShardedSVO, max_rounds: int = 6,
+                        cap_factor: int = 2):
+    """Ray-exchange level-sharded trace: rays sharded AND content sharded.
+
+    Per round, each device (1) trunk-traces only its LOCAL ray shard,
+    (2) buckets pending rays by their hit octant's owner and all_to_all's
+    the packets (fixed per-peer capacity cap = cap_factor * ceil(n_local /
+    n_dev); overflow rays simply retry next round), (3) traces the received
+    rays — all owned by this device — against its local arena, and (4)
+    returns results with the mirror all_to_all. Deep-trace work per device
+    is ~N/n_dev instead of the replicate-and-mask N of make_sharded_trace.
+
+    Returns fn(trunk..., octant tables..., arenas..., o_shard, d_shard) ->
+    (leaf, t, owner, traced_count) with the per-ray outputs sharded like the
+    rays and traced_count (1,) per device = how many rays this device's
+    arena actually traced (the load-balance diagnostic)."""
+    trunk_depth = ls.trunk_depth
+    sub_depth = ls.sub_depth
+    size = ls.octant_size
+    n_dev = ls.n_devices
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(),
+                  P(RAY_AXIS, None), P(RAY_AXIS, None), P(RAY_AXIS, None),
+                  P(RAY_AXIS, None), P(RAY_AXIS, None)),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS)),
+        check_vma=False,
+    )
+    def _trace(trunk_m, trunk_c, trunk_l, oct_owner, oct_root, oct_origin,
+               arena_m3, arena_c3, arena_l3, o, d):
+        i32, f32 = jnp.int32, jnp.float32
+        arena_m, arena_c, arena_l = arena_m3[0], arena_c3[0], arena_l3[0]
+        trunk_p = traverse.derive_parent_ptr_jnp(trunk_m, trunk_c)
+        arena_p = traverse.derive_parent_ptr_jnp(arena_m, arena_c)
+        my_dev = jax.lax.axis_index(RAY_AXIS)
+        n = o.shape[0]                      # local ray count
+        cap = cap_factor * ((n + n_dev - 1) // n_dev)
+        t_off = jnp.zeros(n, f32)
+        done = jnp.zeros(n, bool)
+        out_leaf = jnp.full(n, -1, i32)
+        out_t = jnp.zeros(n, f32)
+        out_owner = jnp.full(n, -1, i32)
+        traced = jnp.zeros((), i32)
+        eps = f32(1e-5)
+
+        for _ in range(max_rounds):
+            o_cur = o + t_off[:, None] * d
+            r1 = traverse._trace_core(trunk_m, trunk_c, trunk_l, trunk_p,
+                                      o_cur, d, trunk_depth)
+            found = (r1.hit_leaf >= 0) & ~done
+            done = done | ~found            # trunk miss = final miss
+            oct_id = jnp.where(found, r1.hit_leaf, 0)
+            owner = jnp.take(oct_owner, oct_id)
+
+            # ---- bucket pending rays by owner: slot = rank within group --
+            key = jnp.where(found, owner, n_dev)
+            order = jnp.argsort(key)        # stable
+            sk = jnp.take(key, order)
+            posn = jnp.arange(n, dtype=i32)
+            is_first = jnp.concatenate(
+                [jnp.ones(1, bool), sk[1:] != sk[:-1]])
+            seg_start = jax.lax.cummax(jnp.where(is_first, posn, 0))
+            rank = posn - seg_start
+            ray_id = order
+            ok = (sk < n_dev) & (rank < cap)
+            flat = jnp.where(ok, sk * cap + rank, n_dev * cap)
+            idx_buf = jnp.full(n_dev * cap + 1, -1, i32).at[flat].set(
+                jnp.where(ok, ray_id, -1))
+            idx_send = idx_buf[:-1].reshape(n_dev, cap)
+            sent = jnp.zeros(n, bool).at[jnp.where(ok, ray_id, n)].set(
+                True, mode="drop")
+
+            safe_idx = jnp.maximum(idx_send, 0)
+            send_valid = idx_send >= 0
+            send_o = jnp.take(o_cur, safe_idx.reshape(-1), axis=0).reshape(
+                n_dev, cap, 3)
+            send_d = jnp.take(d, safe_idx.reshape(-1), axis=0).reshape(
+                n_dev, cap, 3)
+            send_oct = jnp.where(
+                send_valid,
+                jnp.take(oct_id, safe_idx.reshape(-1)).reshape(n_dev, cap), 0)
+
+            # ---- exchange: slice j of recv came from device j ------------
+            recv_o = jax.lax.all_to_all(send_o, RAY_AXIS, 0, 0, tiled=False)
+            recv_d = jax.lax.all_to_all(send_d, RAY_AXIS, 0, 0, tiled=False)
+            recv_oct = jax.lax.all_to_all(send_oct, RAY_AXIS, 0, 0,
+                                          tiled=False)
+            recv_valid = jax.lax.all_to_all(
+                send_valid.astype(i32), RAY_AXIS, 0, 0, tiled=False) != 0
+
+            # ---- owner-side deep trace (every received ray is mine) ------
+            ro = recv_o.reshape(n_dev * cap, 3)
+            rd = recv_d.reshape(n_dev * cap, 3)
+            roct = recv_oct.reshape(n_dev * cap)
+            c_org = jnp.take(oct_origin, roct, axis=0)
+            o_loc = (ro - c_org) / size
+            roots = jnp.take(oct_root, roct)
+            r2 = traverse._trace_core(arena_m, arena_c, arena_l, arena_p,
+                                      o_loc, rd, sub_depth, root=roots)
+            traced = traced + jnp.sum(recv_valid.astype(i32))
+
+            res_leaf = jnp.where(recv_valid.reshape(-1), r2.hit_leaf,
+                                 -1).reshape(n_dev, cap)
+            res_t = (r2.hit_t * size).reshape(n_dev, cap)
+
+            # ---- results home ------------------------------------------
+            back_leaf = jax.lax.all_to_all(res_leaf, RAY_AXIS, 0, 0,
+                                           tiled=False)
+            back_t = jax.lax.all_to_all(res_t, RAY_AXIS, 0, 0, tiled=False)
+
+            # scatter into local rays: slot order matches idx_send; invalid
+            # slots are routed out of bounds and dropped
+            flat_idx = idx_send.reshape(-1)
+            valid = flat_idx >= 0
+            safe = jnp.where(valid, flat_idx, n)
+            hit_leaf_r = jnp.zeros(n, i32).at[safe].set(
+                back_leaf.reshape(-1), mode="drop")
+            hit_t_r = jnp.zeros(n, f32).at[safe].set(
+                back_t.reshape(-1), mode="drop")
+            got_hit = jnp.zeros(n, bool).at[safe].set(
+                back_leaf.reshape(-1) >= 0, mode="drop")
+
+            new = sent & got_hit & ~done
+            out_leaf = jnp.where(new, hit_leaf_r, out_leaf)
+            out_t = jnp.where(new, t_off + hit_t_r, out_t)
+            out_owner = jnp.where(new, owner, out_owner)
+            done = done | new
+
+            # sent-but-missed: advance past the octant AABB; overflow
+            # (found & ~sent) retries next round at the same t
+            c_org_l = jnp.take(oct_origin, oct_id, axis=0)
+            t_exit = _aabb_exit_jnp(o_cur, d, c_org_l, size)
+            adv = sent & ~got_hit & ~done
+            t_off = jnp.where(adv, t_off + t_exit + eps, t_off)
+
+        return out_leaf, out_t, out_owner, traced.reshape(1)
 
     return _trace
 
