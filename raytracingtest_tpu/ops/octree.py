@@ -181,13 +181,19 @@ def _sorted_unique(par):
     return par[starts], starts
 
 
-def build_svo(scene, depth: int, prune: bool = True) -> BuildResult:
+def build_svo(scene, depth: int, prune: bool = True,
+              attr_frame=None) -> BuildResult:
     """Build a packed SVO from a signed-density scene.
 
     Host-side (numpy) frontier build; per-level passes are fully vectorized.
     With prune=True uses the scene's Lipschitz bound to skip empty/deep-solid
     octants; with prune=False expands every octant (exact, 8^depth work —
     use only for small depths in tests).
+
+    attr_frame=(world_scene, origin, size): when `scene` is a chunk-local
+    rescale of a larger world (stream/clipmap._chunk_scene), evaluate leaf
+    ATTRIBUTES (position palette + gradient normals) in world coordinates so
+    streamed chunks are attribute-identical to a monolithic world build.
     """
     if depth < 1:
         raise ValueError("depth must be >= 1")
@@ -348,8 +354,18 @@ def build_svo(scene, depth: int, prune: bool = True) -> BuildResult:
     sl = survive[depth]
     leaf_cc = cc[sl]
     lpx, lpy, lpz = px[sl], py[sl], pz[sl]
-    albedo = default_albedo(lpx, lpy, lpz, xp=np).astype(np.float32)
-    normal = sampler_normal(scene, lpx, lpy, lpz, xp=np).astype(np.float32)
+    if attr_frame is not None:
+        wscene, worg, wsize = attr_frame
+        wpx = lpx * np.float32(wsize) + np.float32(worg[0])
+        wpy = lpy * np.float32(wsize) + np.float32(worg[1])
+        wpz = lpz * np.float32(wsize) + np.float32(worg[2])
+        albedo = default_albedo(wpx, wpy, wpz, xp=np).astype(np.float32)
+        normal = sampler_normal(wscene, wpx, wpy, wpz, xp=np).astype(
+            np.float32)
+    else:
+        albedo = default_albedo(lpx, lpy, lpz, xp=np).astype(np.float32)
+        normal = sampler_normal(scene, lpx, lpy, lpz, xp=np).astype(
+            np.float32)
     density = np.ones(n_leaves, np.float32)
 
     svo = SVO(
