@@ -138,6 +138,33 @@ def cmd_info(args):
     print(f"memory: {bytes_total/1e6:.1f} MB (nodes + fp leaf attributes)")
 
 
+def cmd_debug(args):
+    """Visual/ray debug probe — the SVODriver + gizmo analog
+    (SVODriver.cs:74-90, OnDrawGizmos): node-box overlay render and/or a
+    textual dump of every leaf a probe ray intersects."""
+    import numpy as np
+    from raytracingtest_tpu import viz
+    from raytracingtest_tpu.ops.camera import Camera
+    from raytracingtest_tpu.render import render_jax
+
+    svo = _load_or_build(args.scene, args.depth, args.cache_dir)
+    if args.ray is not None:
+        o = args.ray[:3]
+        d = args.ray[3:]
+        entries = viz.ray_probe(svo, o, d, max_hits=args.max_hits)
+        print(viz.format_probe(entries))
+    if args.out:
+        cam = Camera(position=tuple(args.camera_position),
+                     look_at=tuple(args.look_at), fov_y_deg=args.fov,
+                     width=args.width, height=args.height)
+        img = np.asarray(render_jax(svo, cam))
+        origins, size = viz.node_boxes(svo, args.level)
+        viz.draw_boxes(img, cam, origins, size,
+                       max_boxes=args.max_boxes)
+        _save_png(img, args.out)
+        print(f"wrote {args.out} ({len(origins)} level-{args.level} boxes)")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="raytracingtest_tpu")
     p.add_argument("--cache-dir", default="/tmp/rtt_cache")
@@ -173,6 +200,24 @@ def main(argv=None):
     pi.add_argument("--scene", default="terrain")
     pi.add_argument("--depth", type=int, default=8)
     pi.set_defaults(fn=cmd_info)
+
+    pd = sub.add_parser("debug",
+                        help="node-box overlay + ray probe (SVODriver)")
+    pd.add_argument("--scene", default="sphere")
+    pd.add_argument("--depth", type=int, default=5)
+    pd.add_argument("--level", type=int, default=3)
+    pd.add_argument("--ray", type=float, nargs=6, default=None,
+                    metavar=("OX", "OY", "OZ", "DX", "DY", "DZ"))
+    pd.add_argument("--max-hits", type=int, default=32)
+    pd.add_argument("--max-boxes", type=int, default=4096)
+    pd.add_argument("--width", type=int, default=512)
+    pd.add_argument("--height", type=int, default=512)
+    pd.add_argument("--fov", type=float, default=50.0)
+    pd.add_argument("--camera-position", type=float, nargs=3,
+                    default=[0.5, 0.85, -0.6])
+    pd.add_argument("--look-at", type=float, nargs=3, default=[0.5, 0.4, 0.5])
+    pd.add_argument("--out", default="")
+    pd.set_defaults(fn=cmd_debug)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -105,3 +105,29 @@ class Camera:
         d = _normalize(d, xp)
         o = xp.broadcast_to(pos[None, None, :], d.shape)
         return xp.asarray(o).reshape(-1, 3), d.reshape(-1, 3)
+
+    def project(self, pts, xp=np):
+        """World points -> (pixel xy (N,2), in_front (N,)) — the exact
+        inverse of rays()'s pixel mapping; used by viz.draw_boxes (the
+        gizmo-rasterization analog of the reference's scene-view boxes)."""
+        pts = xp.asarray(pts, xp.float32)
+        pos, fwd, right, up = self.basis(xp)
+        rel = pts - pos[None, :]
+        z = rel @ fwd
+        x = rel @ right
+        y = rel @ up
+        aspect = self.width / self.height
+        if self.ortho_height > 0.0:
+            hh = self.ortho_height * 0.5
+            u = x / (aspect * hh)
+            v = y / hh
+            in_front = z > 0.0
+        else:
+            tan_half = float(np.tan(np.radians(self.fov_y_deg) * 0.5))
+            zs = xp.where(xp.abs(z) < 1e-9, 1e-9, z)
+            u = x / (zs * aspect * tan_half)
+            v = y / (zs * tan_half)
+            in_front = z > 1e-6
+        px = (u + 1.0) * 0.5 * self.width - 0.5
+        py = (1.0 - v) * 0.5 * self.height - 0.5
+        return xp.stack([px, py], axis=-1), in_front

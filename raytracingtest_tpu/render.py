@@ -48,8 +48,48 @@ def sky_color(d, xp):
     return hor * (1.0 - t) + zen * t
 
 
+def sky_texture(d, tex, xp):
+    """Equirectangular skybox texture sample on miss — the reference's
+    _SkyboxTexture.SampleLevel(sampler, uv, 0) path
+    (Assets/Shaders/RaytraceCompute.compute:117-126: theta/phi from the ray
+    direction, here with bilinear filtering). tex: (H, W, 3) float32."""
+    h, w = tex.shape[0], tex.shape[1]
+    dx, dy, dz = d[..., 0], d[..., 1], d[..., 2]
+    # equirect convention: v=0 at zenith (+y), u wraps with azimuth (the
+    # reference's acos(dir.y)/atan2(dir.x,-dir.z) mapping,
+    # RaytraceCompute.compute:121-125, with v oriented top-down)
+    u = (xp.arctan2(dx, -dz) / (2.0 * np.pi)) + 0.5
+    v = xp.arccos(xp.clip(dy, -1.0, 1.0)) / np.pi
+    fu = u * (w - 1)
+    fv = v * (h - 1)
+    u0 = xp.clip(xp.floor(fu).astype(xp.int32), 0, w - 1)
+    v0 = xp.clip(xp.floor(fv).astype(xp.int32), 0, h - 1)
+    u1 = xp.minimum(u0 + 1, w - 1)
+    v1 = xp.minimum(v0 + 1, h - 1)
+    au = (fu - u0)[..., None]
+    av = (fv - v0)[..., None]
+    flat = tex.reshape(-1, 3)
+    c00 = xp.take(flat, v0 * w + u0, axis=0)
+    c01 = xp.take(flat, v0 * w + u1, axis=0)
+    c10 = xp.take(flat, v1 * w + u0, axis=0)
+    c11 = xp.take(flat, v1 * w + u1, axis=0)
+    top = c00 * (1 - au) + c01 * au
+    bot = c10 * (1 - au) + c11 * au
+    return top * (1 - av) + bot * av
+
+
+def make_gradient_skybox(height: int = 64, width: int = 128) -> np.ndarray:
+    """Bake the procedural gradient into an equirect texture (a stand-in
+    skybox asset for tests/demos; users load any (H,W,3) float image)."""
+    v = (np.arange(height, dtype=np.float32) + 0.5) / height  # polar angle/pi
+    y = np.cos(v * np.pi)  # direction.y for this row
+    t = np.clip(y * 0.5 + 0.5, 0.0, 1.0)[:, None]
+    row = SKY_HORIZON[None, :] * (1 - t) + SKY_ZENITH[None, :] * t
+    return np.broadcast_to(row[:, None, :], (height, width, 3)).copy()
+
+
 def shade(res: traverse.TraceResult, direction, leaf_albedo, leaf_normal,
-          light: Light, xp):
+          light: Light, xp, skybox=None):
     """Shade traced rays: Lambert + ambient on hit, sky on miss. (N,3)."""
     hit = res.hit_leaf >= 0
     safe_leaf = xp.where(hit, res.hit_leaf, 0)
@@ -62,25 +102,30 @@ def shade(res: traverse.TraceResult, direction, leaf_albedo, leaf_normal,
     ldir = ldir / xp.sqrt(xp.sum(ldir * ldir))
     ndotl = xp.maximum(xp.sum(nrm * (-ldir)[None, :], axis=-1), 0.0)
     lit = alb * (ndotl * light.intensity + light.ambient)[:, None]
-    sky = sky_color(xp.asarray(direction, xp.float32), xp)
+    d = xp.asarray(direction, xp.float32)
+    if skybox is not None:
+        sky = sky_texture(d, xp.asarray(skybox, xp.float32), xp)
+    else:
+        sky = sky_color(d, xp)
     return xp.where(hit[:, None], lit, sky)
 
 
 def render_numpy(svo, camera: Camera, light: Light = Light(),
-                 frame: OctreeFrame = OctreeFrame(), jitter=None):
+                 frame: OctreeFrame = OctreeFrame(), jitter=None,
+                 skybox=None):
     """CPU reference image (numpy traversal). Returns (H, W, 3) float32."""
     o, d = camera.rays(np, jitter=jitter)
     o, d = frame.world_to_local(o, d, np)
     res = traverse.trace_numpy(svo, o, d)
     img = shade(res, d, np.asarray(svo.leaf_albedo), np.asarray(svo.leaf_normal),
-                light, np)
+                light, np, skybox=skybox)
     return img.reshape(camera.height, camera.width, 3).astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("depth", "height", "width"))
+@partial(jax.jit, static_argnames=("depth", "height", "width", "use_tex"))
 def _render_jax(masks, child_base, leaf_base, parent_ptr, leaf_albedo,
                 leaf_normal, o, d, depth, height, width, light_dir,
-                light_intensity, light_ambient):
+                light_intensity, light_ambient, skybox_tex, use_tex):
     res = traverse._trace_jax(masks, child_base, leaf_base, parent_ptr, o, d,
                               depth)
     hit = res.hit_leaf >= 0
@@ -93,16 +138,23 @@ def _render_jax(masks, child_base, leaf_base, parent_ptr, leaf_albedo,
     ldir = light_dir / jnp.sqrt(jnp.sum(light_dir * light_dir))
     ndotl = jnp.maximum(jnp.sum(nrm * (-ldir)[None, :], axis=-1), 0.0)
     lit = alb * (ndotl * light_intensity + light_ambient)[:, None]
-    sky = sky_color(d, jnp)
+    if use_tex:
+        sky = sky_texture(d, skybox_tex, jnp)
+    else:
+        sky = sky_color(d, jnp)
     img = jnp.where(hit[:, None], lit, sky)
     return img.reshape(height, width, 3)
 
 
 def render_jax(svo, camera: Camera, light: Light = Light(),
-               frame: OctreeFrame = OctreeFrame(), jitter=None):
-    """Jitted single-device render. Returns (H, W, 3) float32 device array."""
+               frame: OctreeFrame = OctreeFrame(), jitter=None, skybox=None):
+    """Jitted single-device render. Returns (H, W, 3) float32 device array.
+    skybox: optional (H, W, 3) equirect texture sampled on miss."""
     o, d = camera.rays(np, jitter=jitter)
     o, d = frame.world_to_local(o, d, np)
+    use_tex = skybox is not None
+    tex = jnp.asarray(skybox, jnp.float32) if use_tex else jnp.zeros(
+        (1, 1, 3), jnp.float32)
     return _render_jax(
         jnp.asarray(svo.masks), jnp.asarray(svo.child_base),
         jnp.asarray(svo.leaf_base), traverse.parent_ptr_of(svo),
@@ -112,13 +164,14 @@ def render_jax(svo, camera: Camera, light: Light = Light(),
         camera.height, camera.width,
         jnp.asarray(light.direction, jnp.float32),
         jnp.float32(light.intensity), jnp.float32(light.ambient),
+        tex, use_tex,
     )
 
 
 def render_progressive(svo, camera: Camera, n_samples: int = 8,
                        light: Light = Light(),
                        frame: OctreeFrame = OctreeFrame(), seed: int = 0,
-                       backend: str = "jax"):
+                       backend: str = "jax", skybox=None):
     """Progressive jittered accumulation — the AddShader running average
     (AddShader.shader:42-46: each frame blended with alpha 1/(sample+1))."""
     rng = np.random.default_rng(seed)
@@ -126,7 +179,8 @@ def render_progressive(svo, camera: Camera, n_samples: int = 8,
     render = render_jax if backend == "jax" else render_numpy
     for s in range(n_samples):
         jitter = rng.random(2, dtype=np.float32)
-        img = render(svo, camera, light=light, frame=frame, jitter=jitter)
+        img = render(svo, camera, light=light, frame=frame, jitter=jitter,
+                     skybox=skybox)
         img = np.asarray(img)
         acc = img if acc is None else acc + (img - acc) / (s + 1)
     return acc
