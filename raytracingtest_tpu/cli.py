@@ -157,7 +157,7 @@ def cmd_debug(args):
         cam = Camera(position=tuple(args.camera_position),
                      look_at=tuple(args.look_at), fov_y_deg=args.fov,
                      width=args.width, height=args.height)
-        img = np.asarray(render_jax(svo, cam))
+        img = np.array(render_jax(svo, cam))  # writable copy for the overlay
         origins, size = viz.node_boxes(svo, args.level)
         viz.draw_boxes(img, cam, origins, size,
                        max_boxes=args.max_boxes)
