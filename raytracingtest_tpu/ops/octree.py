@@ -181,6 +181,102 @@ def _sorted_unique(par):
     return par[starts], starts
 
 
+def build_from_leaves(leaf_coords, depth: int, albedo=None, normal=None,
+                      density=None) -> SVO:
+    """Bottom-up Morton builder: packed SVO directly from finest-level leaf
+    coordinates — no sampler, no top-down recursion.
+
+    The vectorized redesign of the reference's disabled streaming builder
+    (Utility/Old/SVOCreatorMorton.cs.disabled: leaves enumerated in Morton
+    order, parents emitted as 8-child groups complete, pointers fixed up in
+    a second pass): here each level is ONE unique-prefix pass over sorted
+    Morton codes, which reproduces the canonical breadth-first layout of
+    build_svo bit-for-bit (tested). Useful for building from point clouds /
+    fit outputs and as the slice pipeline's batch form.
+
+    Attribute arrays (n_leaves,*) are reordered to Morton leaf order; when
+    omitted, albedo falls back to the position palette, normal to +y, and
+    density to 1.
+    """
+    from raytracingtest_tpu.ops.morton import morton_encode64
+
+    leaf_coords = np.asarray(leaf_coords, np.int64)
+    n_in = leaf_coords.shape[0]
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    if n_in and int(leaf_coords.max()) >= (1 << depth):
+        raise ValueError("leaf coordinate out of range for depth")
+
+    code = morton_encode64(leaf_coords[:, 0], leaf_coords[:, 1],
+                           leaf_coords[:, 2])
+    order = np.argsort(code, kind="stable")
+    code = code[order]
+    if n_in and np.any(code[1:] == code[:-1]):
+        raise ValueError("duplicate leaf coordinates")
+
+    # per-level sorted node codes, bottom-up: level l nodes = unique
+    # (leaf_code >> 3*(depth-l))
+    codes = [None] * (depth + 1)
+    codes[depth] = code
+    for l in range(depth - 1, -1, -1):
+        parent = codes[l + 1] >> 3
+        keep = np.ones(parent.shape[0], bool)
+        keep[1:] = parent[1:] != parent[:-1]
+        codes[l] = parent[keep]
+    if codes[0].shape[0] == 0:
+        codes[0] = np.zeros(1, np.int64)  # keep an (empty) root
+
+    level_counts = [c.shape[0] for c in codes[:depth]]
+    level_start = np.zeros(depth + 1, np.int64)
+    np.cumsum(level_counts, out=level_start[1:])
+    n_nodes = int(level_start[-1])
+    masks = np.zeros(n_nodes, np.int32)
+    child_base = np.zeros(n_nodes, np.int32)
+    leaf_base = np.zeros(n_nodes, np.int32)
+
+    for l in range(depth):
+        child = codes[l + 1]
+        if child.shape[0] == 0:
+            continue
+        parent = child >> 3
+        first = np.ones(child.shape[0], bool)
+        first[1:] = parent[1:] != parent[:-1]
+        starts = np.flatnonzero(first)
+        rows = level_start[l] + np.arange(codes[l].shape[0])
+        bits = (np.int32(1) << (child & 7).astype(np.int32))
+        vm = np.bitwise_or.reduceat(bits, starts)
+        if l == depth - 1:
+            masks[rows] = (vm << 8) | vm
+            leaf_base[rows] = starts.astype(np.int32)
+        else:
+            masks[rows] = vm << 8
+            child_base[rows] = (level_start[l + 1] + starts).astype(np.int32)
+
+    n_leaves = n_in
+    lc = leaf_coords[order]
+    fin = np.float32(2.0 ** (-depth))
+    px = (lc[:, 0].astype(np.float32) + 0.5) * fin
+    py = (lc[:, 1].astype(np.float32) + 0.5) * fin
+    pz = (lc[:, 2].astype(np.float32) + 0.5) * fin
+    if albedo is not None:
+        alb = np.asarray(albedo, np.float32)[order]
+    else:
+        alb = default_albedo(px, py, pz, xp=np).astype(np.float32)
+    if normal is not None:
+        nrm = np.asarray(normal, np.float32)[order]
+    else:
+        nrm = np.tile(np.array([[0.0, 1.0, 0.0]], np.float32), (n_leaves, 1))
+    den = (np.asarray(density, np.float32)[order] if density is not None
+           else np.ones(n_leaves, np.float32))
+
+    return SVO(
+        masks=masks, child_base=child_base, leaf_base=leaf_base,
+        leaf_albedo=alb, leaf_normal=nrm, leaf_density=den,
+        depth=depth, level_start=tuple(int(v) for v in level_start),
+        parent_ptr=compute_parent_ptr(masks, child_base),
+    )
+
+
 def build_svo(scene, depth: int, prune: bool = True,
               attr_frame=None) -> BuildResult:
     """Build a packed SVO from a signed-density scene.
