@@ -226,3 +226,50 @@ loss_and_grads_brick = jax.jit(
     jax.value_and_grad(l2_loss_brick, argnums=(0, 1, 2)),
     static_argnames=("depth", "top_depth"),
 )
+
+
+@partial(jax.jit, static_argnames=("depth", "top_depth", "k"))
+def render_volumetric_brick(albedo, normal, density, top_masks, top_child,
+                            top_parent, bricks, o, d, depth, top_depth,
+                            light_dir, k=4, light_intensity=1.3,
+                            light_ambient=0.08, density_scale=64.0):
+    """render_volumetric through the brick all-hits traversal (identical
+    segments — tested)."""
+    from raytracingtest_tpu.ops import brick as brick_mod
+    res = brick_mod._trace_brick_multi_jax(top_masks, top_child, top_parent,
+                                           bricks, o, d, depth, top_depth, k)
+    hit_leaf = jax.lax.stop_gradient(res.hit_leaf)
+    t_in = jax.lax.stop_gradient(res.t_in)
+    t_out = jax.lax.stop_gradient(res.t_out)
+    return _composite_segments(albedo, normal, density, hit_leaf, t_in,
+                               t_out, o, d, light_dir, k, light_intensity,
+                               light_ambient, density_scale)
+
+
+def _composite_segments(albedo, normal, density, hit_leaf, t_in, t_out, o, d,
+                        light_dir, k, light_intensity, light_ambient,
+                        density_scale):
+    n = o.shape[0]
+    valid = hit_leaf >= 0
+    safe = jnp.where(valid, hit_leaf, 0).reshape(-1)
+    alb, nrm, den = gather_voxel_params(albedo, normal, density, safe)
+    alb = alb.reshape(n, k, 3)
+    nrm = nrm.reshape(n, k, 3)
+    den = den.reshape(n, k)
+
+    ldir = light_dir / jnp.sqrt(jnp.sum(light_dir * light_dir))
+    nn = nrm / jnp.sqrt(jnp.maximum(jnp.sum(nrm * nrm, -1, keepdims=True),
+                                    1e-12))
+    ndotl = jnp.maximum(jnp.sum(nn * (-ldir)[None, None, :], axis=-1), 0.0)
+    color = alb * (ndotl * light_intensity + light_ambient)[..., None]
+
+    seg_len = jnp.maximum(t_out - t_in, 0.0)
+    sigma = jax.nn.softplus(den) * density_scale
+    alpha = (1.0 - jnp.exp(-sigma * seg_len)) * valid
+    trans = jnp.cumprod(1.0 - alpha + 1e-9, axis=1)
+    t_before = jnp.concatenate(
+        [jnp.ones((n, 1), jnp.float32), trans[:, :-1]], axis=1)
+    weights = t_before * alpha
+    sky = sky_color(d, jnp)
+    t_final = t_before[:, -1] * (1.0 - alpha[:, -1])
+    return jnp.sum(weights[..., None] * color, axis=1) + t_final[:, None] * sky

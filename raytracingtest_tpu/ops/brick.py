@@ -490,6 +490,195 @@ def _trace_brick_core(top_masks, top_child, top_parent, bricks, origin,
                        outs["hit_child"], outs["iters"])
 
 
+def _trace_brick_multi_core(top_masks, top_child, top_parent, bricks,
+                            origin, direction, depth, top_depth, k):
+    """K-segment brick traversal (volumetric all-hits): the DDA records each
+    solid voxel's (leaf, t_in, t_out=voxel exit) and keeps walking; rays stop
+    at k segments or root exit. Segment values are bit-identical to
+    traverse._trace_multi_core (t_out = the voxel's corner-plane exit, which
+    equals its min(t_max, tc_max) — the voxel's planes dominate its
+    ancestors')."""
+    from raytracingtest_tpu.ops.traverse import MultiTraceResult
+    f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
+    nodes_packed = jnp.stack([top_masks, top_child, top_parent], axis=1)
+    st0 = init_state(origin, direction, top_depth, jnp)
+    n = origin.shape[0]
+    st = dict(
+        pos=st0.pos, idx=st0.idx, parent=st0.parent, scale=st0.scale,
+        t_min=st0.t_min, octant_mask=st0.octant_mask, t_coef=st0.t_coef,
+        t_bias=st0.t_bias, done=st0.done, popped=jnp.zeros(n, bool),
+        parked=jnp.zeros(n, bool), brick_id=jnp.zeros(n, i32),
+        hit_leaf=jnp.full(n, -1, i32), hit_t=st0.hit_t,
+        hit_parent=jnp.full(n, -1, i32), hit_child=st0.hit_child,
+        iters=st0.iters,
+        hits_leaf=jnp.full((k, n), -1, i32),
+        hits_tin=jnp.zeros((k, n), f32),
+        hits_tout=jnp.zeros((k, n), f32),
+        count=jnp.zeros(n, i32),
+    )
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (k, n), 0)
+    n_max_top = max_iters_for_depth(top_depth) + 8 * k
+    n_max_rounds = 16 * depth + 8 * k + 64
+
+    brick_exp2 = f32(2.0 ** (-top_depth))
+    vsize = f32(2.0 ** (-depth))
+    vshift = S_MAX - depth
+
+    def round_body(carry):
+        r, st = carry
+        def top_cond(c):
+            i, s = c
+            runnable = ~s["done"] & ~s["parked"]
+            n_run = jnp.sum(runnable)
+            n_act = jnp.sum(~s["done"])
+            return (i < n_max_top) & (n_run > 0) & (n_run * TOP_DRAIN > n_act)
+
+        def top_body(c):
+            i, s = c
+            keep = {kk: s[kk] for kk in ("hits_leaf", "hits_tin",
+                                         "hits_tout", "count")}
+            core = {kk: v for kk, v in s.items() if kk not in keep}
+            core = _top_step(core, nodes_packed)
+            core.update(keep)
+            return i + 1, core
+
+        _, st = jax.lax.while_loop(top_cond, top_body, (jnp.int32(0), st))
+
+        safe_bid = jnp.where(st["parked"], st["brick_id"], 0)
+        brow = jnp.take(bricks, safe_bid, axis=0)
+        words = brow[:, :16]
+        bleaf = brow[:, 16].astype(i32)
+
+        bpos = st["pos"]
+        t_min = st["t_min"]
+        for l in range(1, BRICK_LEVELS + 1):
+            half = f32(brick_exp2 * 2.0 ** (-l))
+            t_center = (bpos + half) * st["t_coef"] - st["t_bias"]
+            upper = t_center > t_min[:, None]
+            bpos = bpos + jnp.where(upper, half, f32(0.0))
+
+        om = st["octant_mask"]
+        om_bits = jnp.stack([om & 1, (om >> 1) & 1, (om >> 2) & 1], axis=1)
+        flip = jnp.where(om_bits == 1, jnp.int32(0), jnp.int32(7))
+        word_iota = jnp.arange(16, dtype=i32)[None, :]
+
+        dda = dict(
+            bpos=bpos, t_min=t_min, parked=st["parked"] & ~st["done"],
+            done=st["done"], popped=st["popped"],
+            hits_leaf=st["hits_leaf"], hits_tin=st["hits_tin"],
+            hits_tout=st["hits_tout"], count=st["count"],
+            iters=st["iters"],
+        )
+
+        def dda_cond(c):
+            i, s = c
+            return (i < 3 * 8 + 2 + k) & jnp.any(s["parked"])
+
+        def dda_body(c):
+            i, s = c
+            act = s["parked"]
+            li = (_f2i(s["bpos"], jnp) >> vshift) & 7
+            a = li ^ flip
+            idx9 = (_spread3(a[:, 0]) | (_spread3(a[:, 1]) << 1)
+                    | (_spread3(a[:, 2]) << 2))
+            wsel = idx9 >> 5
+            bitpos = (idx9 & 31).astype(u32)
+            w = _sel16(words, wsel)
+            occ = ((w >> bitpos) & 1) != 0
+            hit_now = act & occ & (s["count"] < k)
+
+            pc = _popcount32(words).astype(i32)
+            full = jnp.sum(jnp.where(word_iota < wsel[:, None], pc, 0),
+                           axis=1)
+            partial = _popcount32(w & ((u32(1) << bitpos) - 1)).astype(i32)
+            leaf_id = bleaf + full + partial
+
+            t_corner = s["bpos"] * st["t_coef"] - st["t_bias"]
+            tc_max = jnp.min(t_corner, axis=1)
+
+            sel_k = (k_iota == s["count"][None]) & hit_now[None]
+            hits_leaf = jnp.where(sel_k, leaf_id[None], s["hits_leaf"])
+            hits_tin = jnp.where(sel_k, s["t_min"][None], s["hits_tin"])
+            hits_tout = jnp.where(sel_k, tc_max[None], s["hits_tout"])
+            count = s["count"] + hit_now.astype(i32)
+            full_now = count >= k
+            done = s["done"] | full_now
+
+            # advance (hit segments keep walking unless full)
+            adv = act & ~full_now
+            step_bits = t_corner <= tc_max[:, None]
+            exit_b = adv & jnp.any(step_bits & (li == 0), axis=1)
+            stay = adv & ~exit_b
+            bpos = s["bpos"] - jnp.where(step_bits & stay[:, None], vsize,
+                                         f32(0.0))
+            t_min = jnp.where(adv, jnp.maximum(s["t_min"], tc_max),
+                              s["t_min"])
+
+            return i + 1, dict(
+                bpos=bpos, t_min=t_min,
+                parked=act & ~full_now & ~exit_b,
+                done=done,
+                popped=jnp.where(exit_b, True, s["popped"]),
+                hits_leaf=hits_leaf, hits_tin=hits_tin,
+                hits_tout=hits_tout, count=count,
+                iters=s["iters"] + act.astype(i32),
+            )
+
+        _, dda = jax.lax.while_loop(dda_cond, dda_body, (jnp.int32(0), dda))
+
+        out = dict(st)
+        out["t_min"] = dda["t_min"]
+        out["done"] = dda["done"]
+        out["popped"] = dda["popped"]
+        out["parked"] = jnp.zeros_like(st["parked"])
+        out["hits_leaf"] = dda["hits_leaf"]
+        out["hits_tin"] = dda["hits_tin"]
+        out["hits_tout"] = dda["hits_tout"]
+        out["count"] = dda["count"]
+        out["iters"] = dda["iters"]
+        return r + 1, out
+
+    def round_cond(carry):
+        r, st = carry
+        return (r < n_max_rounds) & jnp.any(~st["done"])
+
+    _, st = jax.lax.while_loop(round_cond, round_body, (jnp.int32(0), st))
+    return MultiTraceResult(st["hits_leaf"].T, st["hits_tin"].T,
+                            st["hits_tout"].T, st["count"], st["iters"])
+
+
+@partial(jax.jit, static_argnames=("depth", "top_depth", "k"))
+def _trace_brick_multi_jax(top_masks, top_child, top_parent, bricks, origin,
+                           direction, depth, top_depth, k):
+    from raytracingtest_tpu.ops.traverse import MultiTraceResult
+    n = origin.shape[0]
+    if n > TRACE_CHUNK and n % TRACE_CHUNK == 0:
+        g = n // TRACE_CHUNK
+        o_c = origin.reshape(g, TRACE_CHUNK, 3)
+        d_c = direction.reshape(g, TRACE_CHUNK, 3)
+        res = jax.lax.map(
+            lambda od: _trace_brick_multi_core(top_masks, top_child,
+                                               top_parent, bricks, od[0],
+                                               od[1], depth, top_depth, k),
+            (o_c, d_c))
+        return MultiTraceResult(
+            res.hit_leaf.reshape(n, k), res.t_in.reshape(n, k),
+            res.t_out.reshape(n, k), res.count.reshape(n),
+            res.iters.reshape(n))
+    return _trace_brick_multi_core(top_masks, top_child, top_parent, bricks,
+                                   origin, direction, depth, top_depth, k)
+
+
+def trace_brick_multi_jax(bsvo: BrickSVO, origin, direction, k=4):
+    """All-hits brick trace (volumetric segments; bit-identical to
+    traverse.trace_multi_jax)."""
+    return _trace_brick_multi_jax(
+        jnp.asarray(bsvo.top_masks), jnp.asarray(bsvo.top_child),
+        jnp.asarray(bsvo.top_parent), jnp.asarray(bsvo.bricks),
+        jnp.asarray(origin, jnp.float32), jnp.asarray(direction, jnp.float32),
+        bsvo.depth, bsvo.top_depth, k)
+
+
 @partial(jax.jit, static_argnames=("depth", "top_depth"))
 def _trace_brick_jax(top_masks, top_child, top_parent, bricks, origin,
                      direction, depth, top_depth):

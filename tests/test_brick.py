@@ -95,6 +95,43 @@ def test_brick_empty_scene():
     assert (np.asarray(r.hit_leaf) == -1).all()
 
 
+@pytest.mark.parametrize("scene,depth", [("sphere", 5), ("terrain", 6)])
+def test_brick_multi_hit_parity(scene, depth):
+    """All-hits brick trace == plain multi trace, bitwise (segments feed the
+    volumetric renderer)."""
+    res = rt.build_svo(rt.get_scene(scene), depth)
+    svo = res.svo.device()
+    bs = brick.make_brick_svo(res.svo).device()
+    o, d = _camera_rays()
+    r0 = traverse.trace_multi_jax(svo, jnp.asarray(o), jnp.asarray(d), k=4)
+    r1 = brick.trace_brick_multi_jax(bs, jnp.asarray(o), jnp.asarray(d), k=4)
+    for f in ("hit_leaf", "t_in", "t_out", "count"):
+        np.testing.assert_array_equal(np.asarray(getattr(r0, f)),
+                                      np.asarray(getattr(r1, f)))
+
+
+def test_brick_volumetric_matches_plain():
+    import jax
+    from raytracingtest_tpu import diff
+    res = rt.build_svo(rt.get_scene("sphere"), 5)
+    svo = res.svo.device()
+    bs = brick.make_brick_svo(res.svo).device()
+    o, d = _camera_rays(32)
+    o = jnp.asarray(o); d = jnp.asarray(d)
+    light = jnp.asarray([-0.5, -1.0, -0.3], jnp.float32)
+    alb = jnp.asarray(svo.leaf_albedo)
+    nrm = jnp.asarray(svo.leaf_normal)
+    den = jnp.asarray(svo.leaf_density)
+    img0 = diff.render_volumetric(alb, nrm, den, svo.masks, svo.child_base,
+                                  svo.leaf_base, o, d, 5, light,
+                                  parent_ptr=svo.parent_ptr)
+    img1 = diff.render_volumetric_brick(alb, nrm, den, bs.top_masks,
+                                        bs.top_child, bs.top_parent,
+                                        bs.bricks, o, d, 5, bs.top_depth,
+                                        light)
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+
+
 def test_brick_diff_matches_plain():
     """render_diff_brick == render_diff (image + gradients)."""
     import jax
