@@ -53,6 +53,12 @@ BRICK_LEVELS = 3  # bottom levels folded into 8^3 bit bricks
 # full-width gather whether or not a lane needs it).
 TOP_DRAIN = 8
 
+# Steps executed per while_loop iteration (cond evaluations carry a fixed
+# per-iteration cost on the TPU; unrolling amortizes it at the price of up
+# to UNROLL-1 wasted masked steps per ray at loop exit).
+TOP_UNROLL = 4
+DDA_UNROLL = 6
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -311,7 +317,9 @@ def _brick_round(st, nodes_packed, bricks, depth, top_depth, n_max_top):
 
     def top_body(carry):
         i, s = carry
-        return i + 1, _top_step(s, nodes_packed)
+        for _ in range(TOP_UNROLL):
+            s = _top_step(s, nodes_packed)
+        return i + TOP_UNROLL, s
 
     _, st = jax.lax.while_loop(top_cond, top_body, (jnp.int32(0), st))
 
@@ -353,6 +361,11 @@ def _brick_round(st, nodes_packed, bricks, depth, top_depth, n_max_top):
 
     def dda_body(carry):
         i, s = carry
+        for _ in range(DDA_UNROLL):
+            s = _dda_step(s)
+        return i + DDA_UNROLL, s
+
+    def _dda_step(s):
         act = s["parked"]
         li = (_f2i(s["bpos"], jnp) >> vshift) & 7       # (N,3) mirrored
         a = li ^ flip
@@ -384,7 +397,7 @@ def _brick_round(st, nodes_packed, bricks, depth, top_depth, n_max_top):
                                      f32(0.0))
         t_min = jnp.where(adv, jnp.maximum(s["t_min"], tc_max), s["t_min"])
 
-        return i + 1, dict(
+        return dict(
             bpos=bpos, t_min=t_min,
             parked=act & ~hit_now & ~exit_b,
             done=done,
@@ -538,9 +551,10 @@ def _trace_brick_multi_core(top_masks, top_child, top_parent, bricks,
             keep = {kk: s[kk] for kk in ("hits_leaf", "hits_tin",
                                          "hits_tout", "count")}
             core = {kk: v for kk, v in s.items() if kk not in keep}
-            core = _top_step(core, nodes_packed)
+            for _ in range(TOP_UNROLL):
+                core = _top_step(core, nodes_packed)
             core.update(keep)
-            return i + 1, core
+            return i + TOP_UNROLL, core
 
         _, st = jax.lax.while_loop(top_cond, top_body, (jnp.int32(0), st))
 

@@ -451,6 +451,11 @@ def _fast_step(st, nodes_packed, depth, lod=None):
 # worst ray of the whole image.
 TRACE_CHUNK = 65536
 
+# Traversal steps per while_loop iteration: amortizes the loop's fixed
+# per-iteration cost at the price of up to STEP_UNROLL-1 masked no-op steps
+# per ray at exit.
+STEP_UNROLL = 4
+
 
 @partial(jax.jit, static_argnames=("depth",))
 def _trace_jax(masks, child_base, leaf_base, parent_ptr, origin, direction,
@@ -540,9 +545,10 @@ def _trace_core(masks, child_base, leaf_base, parent_ptr, origin, direction,
             i, st = carry
             extra = {"orig": st["orig"], "base_iters": st["base_iters"]}
             core = {k: v for k, v in st.items() if k not in extra}
-            core = _fast_step(core, nodes_packed, depth)
+            for _ in range(STEP_UNROLL):
+                core = _fast_step(core, nodes_packed, depth)
             core.update(extra)
-            return i + 1, core
+            return i + STEP_UNROLL, core
 
         i_total, st = jax.lax.while_loop(cond, body, (i_total, st))
 
