@@ -303,6 +303,7 @@ def build_svo(scene, depth: int, prune: bool = True,
     parent_of = [np.zeros((1,), np.int64)]
     slot_of = [np.zeros((1,), np.int32)]
     n_candidates = [1]
+    f_finest = None  # finest-level f(center) values, reused by phase B
 
     for l in range(1, depth + 1):
         p = coords[l - 1]
@@ -330,6 +331,8 @@ def build_svo(scene, depth: int, prune: bool = True,
             cc = cc[kept]
             par = kept >> 3
             slot = (kept & 7).astype(np.int32)
+            if l == depth:
+                f_finest = f[kept]  # same points phase B needs — don't re-eval
         else:
             par = np.repeat(np.arange(n_p, dtype=np.int64), 8)
             slot = np.tile(np.arange(8, dtype=np.int32), n_p)
@@ -344,7 +347,10 @@ def build_svo(scene, depth: int, prune: bool = True,
     px = (cc[:, 0].astype(np.float32) + np.float32(0.5)) * fin32
     py = (cc[:, 1].astype(np.float32) + np.float32(0.5)) * fin32
     pz = (cc[:, 2].astype(np.float32) + np.float32(0.5)) * fin32
-    f0 = np.asarray(scene(px, py, pz, xp=np), np.float32)
+    if f_finest is not None:
+        f0 = f_finest
+    else:
+        f0 = np.asarray(scene(px, py, pz, xp=np), np.float32)
     solid = f0 <= 0.0
     # six-neighbor air probe at one voxel-size distance
     # (reference IsEdge, NaiveCreator.cs:121-130). Only solid voxels can be
