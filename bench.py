@@ -93,6 +93,20 @@ def main():
                 gsum = sum(jnp.sum(jnp.abs(g))
                            for g in jax.tree_util.tree_leaves(grads))
                 return float(loss + gsum)
+    elif path == "pallas" and mode == "fwd":
+        def run(tag):
+            img = diff.render_diff_pallas(albedo, normal, density, svo.masks,
+                                          svo.child_base, svo.leaf_base, o, d,
+                                          depth, light + tag)
+            return float(jnp.sum(img))
+    elif path == "pallas":
+        def run(tag):
+            loss, grads = diff.loss_and_grads_pallas(
+                albedo, normal, density, svo.masks, svo.child_base,
+                svo.leaf_base, o, d, depth, light + tag, target)
+            gsum = sum(jnp.sum(jnp.abs(g))
+                       for g in jax.tree_util.tree_leaves(grads))
+            return float(loss + gsum)
     elif mode == "fwd":
         def run(tag):
             img = diff.render_diff(albedo, normal, density, svo.masks,

@@ -195,6 +195,42 @@ def volumetric_l2_loss(albedo, normal, density, masks, child_base, leaf_base,
 
 
 # ---------------------------------------------------------------------------
+# Pallas-kernel hot path (ops/traverse_pallas.py): the megakernel role of the
+# reference's NVIDIASVO.compute dispatched per frame (RaytracingMaster.cs:66-68)
+# — forward traversal in a Pallas TPU kernel, same differentiable shading VJP.
+# Ray count must be a multiple of traverse_pallas.TILE_N (pad upstream).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("depth", "interpret"))
+def render_diff_pallas(albedo, normal, density, masks, child_base, leaf_base,
+                       o, d, depth, light_dir, light_intensity=1.3,
+                       light_ambient=0.08, interpret=False):
+    """render_diff with the traversal in the Pallas TPU kernel (bit-identical
+    hits — tested). Traversal is non-differentiable structure; the shading
+    segment-sum VJP composes unchanged."""
+    from raytracingtest_tpu.ops import traverse_pallas
+    res = traverse_pallas._trace_pallas(masks, child_base, leaf_base, o, d,
+                                        depth, interpret=interpret)
+    hit_leaf = jax.lax.stop_gradient(res.hit_leaf)
+    return shade_diff(hit_leaf, d, albedo, normal, density,
+                      light_dir, light_intensity, light_ambient)
+
+
+def l2_loss_pallas(albedo, normal, density, masks, child_base, leaf_base,
+                   o, d, depth, light_dir, target, interpret=False):
+    img = render_diff_pallas(albedo, normal, density, masks, child_base,
+                             leaf_base, o, d, depth, light_dir,
+                             interpret=interpret)
+    return jnp.mean((img - target) ** 2)
+
+
+loss_and_grads_pallas = jax.jit(
+    jax.value_and_grad(l2_loss_pallas, argnums=(0, 1, 2)),
+    static_argnames=("depth", "interpret"),
+)
+
+
+# ---------------------------------------------------------------------------
 # brick-accelerated hot path (ops/brick.py): same differentiable shading,
 # traversal via the gather-light brick traversal. Used by bench.py and the
 # production fit/render drivers for depth >= 4 SVOs.

@@ -133,6 +133,16 @@ def noise3(x, y, z, xp=np, seed=0):
 def fbm3(x, y, z, xp=np, seed=0, octaves=2, lacunarity=2.0, gain=0.5):
     """Fractal sum of noise3 octaves (the reference's two-octave terrain,
     Assets/Scripts/Utility/SampleFunctions.cs:40-47)."""
+    if xp is np and np.size(x) >= 16384:
+        native = _native()
+        if native is not None:
+            shape = np.broadcast_shapes(np.shape(x), np.shape(y), np.shape(z))
+            return native.fbm3(
+                np.broadcast_to(np.asarray(x, np.float32), shape).ravel(),
+                np.broadcast_to(np.asarray(y, np.float32), shape).ravel(),
+                np.broadcast_to(np.asarray(z, np.float32), shape).ravel(),
+                seed=seed, octaves=octaves, lacunarity=lacunarity,
+                gain=gain).reshape(shape)
     total = xp.zeros_like(xp.asarray(x, xp.float32))
     amp = 1.0
     freq = 1.0

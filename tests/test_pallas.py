@@ -52,3 +52,46 @@ def test_pallas_rejects_unaligned_count():
     with pytest.raises(ValueError):
         trace_pallas(svo.device(), np.zeros((100, 3), np.float32),
                      np.ones((100, 3), np.float32), interpret=True)
+
+
+def test_pallas_diff_render_matches_xla():
+    """Production composition: Pallas forward traversal + differentiable
+    shading VJP — image and voxel-parameter gradients must match the XLA
+    path exactly (same shading graph, bit-identical hits)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracingtest_tpu import diff
+    from raytracingtest_tpu.ops.camera import Camera
+
+    svo = build_svo(get_scene("sphere"), 5).svo
+    cam = Camera(position=(0.5, 0.5, -0.8), look_at=(0.5, 0.5, 0.5),
+                 fov_y_deg=45.0, width=64, height=16)  # 1024 rays = 1 tile
+    o, d = cam.rays(np)
+    o = jnp.asarray(o)
+    d = jnp.asarray(d)
+    dsvo = svo.device()
+    albedo = jnp.asarray(svo.leaf_albedo)
+    normal = jnp.asarray(svo.leaf_normal)
+    density = jnp.asarray(svo.leaf_density)
+    light = jnp.asarray([-0.5, -1.0, -0.3], jnp.float32)
+    target = jnp.zeros((o.shape[0], 3), jnp.float32)
+
+    img_x = diff.render_diff(albedo, normal, density, dsvo.masks,
+                             dsvo.child_base, dsvo.leaf_base, o, d, svo.depth,
+                             light, parent_ptr=dsvo.parent_ptr)
+    img_p = diff.render_diff_pallas(albedo, normal, density, dsvo.masks,
+                                    dsvo.child_base, dsvo.leaf_base, o, d,
+                                    svo.depth, light, interpret=True)
+    np.testing.assert_array_equal(np.asarray(img_x), np.asarray(img_p))
+
+    loss_x, grads_x = diff.loss_and_grads(
+        albedo, normal, density, dsvo.masks, dsvo.child_base, dsvo.leaf_base,
+        o, d, svo.depth, light, target, parent_ptr=dsvo.parent_ptr)
+    loss_p, grads_p = diff.loss_and_grads_pallas(
+        albedo, normal, density, dsvo.masks, dsvo.child_base, dsvo.leaf_base,
+        o, d, svo.depth, light, target, interpret=True)
+    np.testing.assert_allclose(float(loss_x), float(loss_p), rtol=0, atol=0)
+    for gx, gp in zip(jax.tree_util.tree_leaves(grads_x),
+                      jax.tree_util.tree_leaves(grads_p)):
+        np.testing.assert_array_equal(np.asarray(gx), np.asarray(gp))
