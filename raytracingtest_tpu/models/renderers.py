@@ -39,6 +39,19 @@ def _camera(cfg: CameraConfig) -> Camera:
                   width=cfg.width, height=cfg.height)
 
 
+def _brick_of(obj):
+    """Lazy cached brick decomposition of a model's SVO (None when the tree
+    is too shallow for bricks — shallow trees use the plain path)."""
+    from raytracingtest_tpu.ops import brick as brick_mod
+    if not hasattr(obj, "_bsvo_cache"):
+        if obj.svo.depth >= brick_mod.BRICK_LEVELS + 1:
+            object.__setattr__(obj, "_bsvo_cache",
+                               brick_mod.make_brick_svo(obj.svo).device())
+        else:
+            object.__setattr__(obj, "_bsvo_cache", None)
+    return obj._bsvo_cache
+
+
 @dataclasses.dataclass
 class SurfaceRenderer:
     svo: SVO
@@ -48,13 +61,24 @@ class SurfaceRenderer:
         cam = _camera(camera_cfg)
         o, d = cam.rays(np, jitter=jitter)
         light = jnp.asarray(render_cfg.light_direction, jnp.float32)
-        img = diff.render_diff(
-            jnp.asarray(self.svo.leaf_albedo),
-            jnp.asarray(self.svo.leaf_normal),
-            jnp.asarray(self.svo.leaf_density),
-            self.svo.masks, self.svo.child_base, self.svo.leaf_base,
-            jnp.asarray(o), jnp.asarray(d), self.svo.depth, light,
-            render_cfg.light_intensity, render_cfg.light_ambient)
+        bsvo = _brick_of(self)
+        if bsvo is not None:
+            img = diff.render_diff_brick(
+                jnp.asarray(self.svo.leaf_albedo),
+                jnp.asarray(self.svo.leaf_normal),
+                jnp.asarray(self.svo.leaf_density),
+                bsvo.top_masks, bsvo.top_child, bsvo.top_parent, bsvo.bricks,
+                jnp.asarray(o), jnp.asarray(d), self.svo.depth,
+                bsvo.top_depth, light,
+                render_cfg.light_intensity, render_cfg.light_ambient)
+        else:
+            img = diff.render_diff(
+                jnp.asarray(self.svo.leaf_albedo),
+                jnp.asarray(self.svo.leaf_normal),
+                jnp.asarray(self.svo.leaf_density),
+                self.svo.masks, self.svo.child_base, self.svo.leaf_base,
+                jnp.asarray(o), jnp.asarray(d), self.svo.depth, light,
+                render_cfg.light_intensity, render_cfg.light_ambient)
         return np.asarray(img).reshape(camera_cfg.height, camera_cfg.width, 3)
 
     def render_progressive(self, camera_cfg: CameraConfig,
@@ -79,15 +103,28 @@ class VolumetricRenderer:
         cam = _camera(camera_cfg)
         o, d = cam.rays(np, jitter=jitter)
         light = jnp.asarray(render_cfg.light_direction, jnp.float32)
-        img = diff.render_volumetric(
-            jnp.asarray(self.svo.leaf_albedo),
-            jnp.asarray(self.svo.leaf_normal),
-            jnp.asarray(self.svo.leaf_density),
-            self.svo.masks, self.svo.child_base, self.svo.leaf_base,
-            jnp.asarray(o), jnp.asarray(d), self.svo.depth, light,
-            k=self.k, light_intensity=render_cfg.light_intensity,
-            light_ambient=render_cfg.light_ambient,
-            density_scale=self.density_scale)
+        bsvo = _brick_of(self)
+        if bsvo is not None:
+            img = diff.render_volumetric_brick(
+                jnp.asarray(self.svo.leaf_albedo),
+                jnp.asarray(self.svo.leaf_normal),
+                jnp.asarray(self.svo.leaf_density),
+                bsvo.top_masks, bsvo.top_child, bsvo.top_parent, bsvo.bricks,
+                jnp.asarray(o), jnp.asarray(d), self.svo.depth,
+                bsvo.top_depth, light,
+                k=self.k, light_intensity=render_cfg.light_intensity,
+                light_ambient=render_cfg.light_ambient,
+                density_scale=self.density_scale)
+        else:
+            img = diff.render_volumetric(
+                jnp.asarray(self.svo.leaf_albedo),
+                jnp.asarray(self.svo.leaf_normal),
+                jnp.asarray(self.svo.leaf_density),
+                self.svo.masks, self.svo.child_base, self.svo.leaf_base,
+                jnp.asarray(o), jnp.asarray(d), self.svo.depth, light,
+                k=self.k, light_intensity=render_cfg.light_intensity,
+                light_ambient=render_cfg.light_ambient,
+                density_scale=self.density_scale)
         return np.asarray(img).reshape(camera_cfg.height, camera_cfg.width, 3)
 
 

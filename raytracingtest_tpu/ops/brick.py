@@ -56,8 +56,9 @@ TOP_DRAIN = 8
 # Steps executed per while_loop iteration (cond evaluations carry a fixed
 # per-iteration cost on the TPU; unrolling amortizes it at the price of up
 # to UNROLL-1 wasted masked steps per ray at loop exit).
-TOP_UNROLL = 4
-DDA_UNROLL = 6
+import os as _os
+TOP_UNROLL = int(_os.environ.get("RTT_TOP_UNROLL", "4"))
+DDA_UNROLL = int(_os.environ.get("RTT_DDA_UNROLL", "6"))
 
 
 @jax.tree_util.register_dataclass
@@ -428,7 +429,7 @@ def _brick_round(st, nodes_packed, bricks, depth, top_depth, n_max_top):
 # phase-compaction schedule (same rationale as traverse._trace_core)
 COMPACT_FACTOR = 4
 COMPACT_MIN = 2048
-TRACE_CHUNK = 65536
+TRACE_CHUNK = int(_os.environ.get("RTT_TRACE_CHUNK", "65536"))
 
 
 def _trace_brick_core(top_masks, top_child, top_parent, bricks, origin,

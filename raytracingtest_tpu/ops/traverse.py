@@ -449,12 +449,19 @@ def _fast_step(st, nodes_packed, depth, lod=None):
 # remote TPU compiler vs seconds at 64K), and each camera-coherent chunk
 # exits its loop as soon as its own rays converge instead of paying the
 # worst ray of the whole image.
-TRACE_CHUNK = 65536
+# Measured on-chip (scratch/micro_loop.py, host-transfer fenced): one
+# while_loop iteration carries a fixed ~100-200us cost at any width, while
+# the elementwise step work is nearly free and row-gathers cost ~1-12ns per
+# output row and pipeline well when issued back-to-back. So: few, wide,
+# heavily-unrolled iterations. Chunks exist only to bound remote-compile
+# time of the loop body (256K-wide brick loop took 13 min to compile remotely).
+import os as _os
+TRACE_CHUNK = int(_os.environ.get("RTT_TRACE_CHUNK", "65536"))
 
 # Traversal steps per while_loop iteration: amortizes the loop's fixed
 # per-iteration cost at the price of up to STEP_UNROLL-1 masked no-op steps
 # per ray at exit.
-STEP_UNROLL = 4
+STEP_UNROLL = int(_os.environ.get("RTT_STEP_UNROLL", "4"))
 
 
 @partial(jax.jit, static_argnames=("depth",))
