@@ -1,0 +1,118 @@
+"""Tile-amortized traversal (ops/tile.py): exactness against the plain path.
+
+The tile path amortizes structure gathers across camera tiles; resolved
+rays' hits must be *bit-identical* to traverse.trace_jax, and every ray a
+dropped candidate could affect must be flagged unresolved (no silent ray
+loss). trace_tile_exact must equal the golden path exactly after fallback.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import raytracingtest_tpu as rt
+from raytracingtest_tpu.ops import tile, traverse
+from raytracingtest_tpu.ops.camera import Camera
+
+
+def _setup(scene, depth, res_px=64, tile_px=16):
+    res = rt.build_svo(rt.get_scene(scene), depth)
+    svo = res.svo.device()
+    ts = tile.make_tile_svo(res.svo).device()
+    cam = Camera(position=(0.5, 0.85, -0.6), look_at=(0.5, 0.4, 0.5),
+                 fov_y_deg=50.0, width=res_px, height=res_px)
+    o, d, corners, grid = tile.tile_rays(cam, np, tile_px=tile_px)
+    return svo, ts, o, d, corners
+
+
+@pytest.mark.parametrize("scene,depth", [
+    ("terrain", 6), ("sphere", 5), ("flat_ground", 6),
+])
+def test_tile_resolved_parity(scene, depth):
+    svo, ts, o, d, corners = _setup(scene, depth)
+    r1, un = tile.trace_tile(ts, o, d, corners)
+    r0 = traverse.trace_jax(svo, jnp.asarray(o.reshape(-1, 3)),
+                            jnp.asarray(d.reshape(-1, 3)))
+    ok = ~np.asarray(un)
+    np.testing.assert_array_equal(np.asarray(r0.hit_leaf)[ok],
+                                  np.asarray(r1.hit_leaf)[ok])
+    hit = ok & (np.asarray(r0.hit_leaf) >= 0)
+    np.testing.assert_array_equal(np.asarray(r0.hit_t)[hit],
+                                  np.asarray(r1.hit_t)[hit])
+    assert hit.sum() > 100
+
+
+@pytest.mark.parametrize("scene,depth", [("terrain", 6), ("sphere", 5)])
+def test_tile_exact_equals_golden(scene, depth):
+    svo, ts, o, d, corners = _setup(scene, depth)
+    r0 = traverse.trace_jax(svo, jnp.asarray(o.reshape(-1, 3)),
+                            jnp.asarray(d.reshape(-1, 3)))
+    r2 = tile.trace_tile_exact(ts, o, d, corners)
+    np.testing.assert_array_equal(np.asarray(r0.hit_leaf),
+                                  np.asarray(r2.hit_leaf))
+    hit = np.asarray(r0.hit_leaf) >= 0
+    np.testing.assert_array_equal(np.asarray(r0.hit_t)[hit],
+                                  np.asarray(r2.hit_t)[hit])
+
+
+def test_tile_adversarial_tiny_caps():
+    """Starved candidate caps must flag (not silently drop) affected rays:
+    exactness holds after fallback even when most candidates are dropped."""
+    svo, ts, o, d, corners = _setup("terrain", 6)
+    caps = (1, 2, 2, 2)  # absurdly small: heavy cap dropping at every level
+    r1, un = tile.trace_tile(ts, o, d, corners, k_max=2, caps=caps)
+    r0 = traverse.trace_jax(svo, jnp.asarray(o.reshape(-1, 3)),
+                            jnp.asarray(d.reshape(-1, 3)))
+    ok = ~np.asarray(un)
+    # whatever the tile path claims as resolved must already be exact
+    np.testing.assert_array_equal(np.asarray(r0.hit_leaf)[ok],
+                                  np.asarray(r1.hit_leaf)[ok])
+    r2 = tile.trace_tile_exact(ts, o, d, corners, k_max=2, caps=caps)
+    np.testing.assert_array_equal(np.asarray(r0.hit_leaf),
+                                  np.asarray(r2.hit_leaf))
+
+
+def test_pyramid_occupancy_matches_nodes():
+    """Every pyramid bit corresponds to a node; finest-level rank == brick id
+    (the builder's level layout is global morton order)."""
+    res = rt.build_svo(rt.get_scene("sphere"), 5)
+    ts = tile.make_tile_svo(res.svo)
+    offs, n_words = tile._pyr_layout(ts.top_depth)
+    pyr = np.asarray(ts.pyr)
+    svo = res.svo
+    # per-level set-bit counts equal per-level node counts
+    for l in range(1, ts.top_depth + 1):
+        end = offs[l + 1] if l < ts.top_depth else n_words
+        bits = tile._popcount_np(pyr[offs[l]:end]).sum()
+        assert bits == svo.level_start[l + 1] - svo.level_start[l]
+    # finest-level morton rank enumerates bricks 0..n-1
+    cm = np.asarray(ts.cellmap)
+    total = cm[-1, 0] + tile._popcount_np(cm[-1:, 1].astype(np.uint32))[0]
+    assert total == ts.bsvo.n_bricks
+
+
+def test_morton_roundtrip():
+    rng = np.random.default_rng(0)
+    xyz = rng.integers(0, 1 << 10, (1000, 3))
+    code = tile.morton3(xyz[:, 0], xyz[:, 1], xyz[:, 2])
+    x, y, z = tile.unmorton3(code)
+    np.testing.assert_array_equal(np.stack([x, y, z], 1), xyz)
+
+
+def test_untile_roundtrip():
+    cam = Camera(position=(0.5, 0.85, -0.6), look_at=(0.5, 0.4, 0.5),
+                 fov_y_deg=50.0, width=64, height=32)
+    o, d, corners, grid = tile.tile_rays(cam, np, tile_px=16)
+    o_ref, d_ref = cam.rays(np)
+    np.testing.assert_array_equal(
+        tile.untile_image(d.reshape(-1, 3), grid, 16), d_ref)
+
+
+def test_tile_rays_rejects_ortho_and_misaligned():
+    cam = Camera(position=(0, 0, -2), look_at=(0, 0, 0), ortho_height=1.0,
+                 width=64, height=64)
+    with pytest.raises(ValueError):
+        tile.tile_rays(cam, np)
+    cam2 = Camera(position=(0, 0, -2), look_at=(0, 0, 0), width=60, height=64)
+    with pytest.raises(ValueError):
+        tile.tile_rays(cam2, np)
