@@ -36,28 +36,35 @@ def main():
     scene = os.environ.get("BENCH_SCENE", "terrain")
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     mode = os.environ.get("BENCH_MODE", "fwdbwd")
-    # brick = the production gather-light traversal (ops/brick.py);
+    # tile  = the production tile-amortized traversal (ops/tile.py)
+    # brick = the per-ray gather-light brick traversal (ops/brick.py)
     # plain = the reference XLA ESVO loop (ops/traverse.py)
-    path = os.environ.get("BENCH_PATH", "brick")
+    path = os.environ.get("BENCH_PATH", "tile")
 
     from raytracingtest_tpu.io import checkpoint as _ckpt
     from raytracingtest_tpu.ops import brick as brick_mod
+    from raytracingtest_tpu.ops import tile as tile_mod
 
     cache = f"/tmp/bench_svo_{scene}_d{depth}.npz"
+    cached = os.path.exists(cache)
     t0 = time.time()
-    if os.path.exists(cache):
+    if cached:
         svo_host = _ckpt.load_svo(cache)
     else:
         svo_host = build_svo(get_scene(scene), depth).svo
         _ckpt.save_svo(svo_host, cache)
+    build_s = time.time() - t0    # honest number: cache load reported as such
     svo = svo_host.device()
     use_brick = path == "brick" and depth >= brick_mod.BRICK_LEVELS + 1
+    use_tile = path == "tile" and depth >= brick_mod.BRICK_LEVELS + 1
     if use_brick:
         bsvo = brick_mod.make_brick_svo(svo_host).device()
-    build_s = time.time() - t0
+    if use_tile:
+        tsvo = tile_mod.make_tile_svo(svo_host).device()
     print(
         f"# build: depth={depth} scene={scene} nodes={svo.n_nodes} "
-        f"leaves={svo.n_leaves} in {build_s:.1f}s",
+        f"leaves={svo.n_leaves} in {build_s:.1f}s"
+        f" ({'cache load' if cached else 'full build'})",
         file=sys.stderr,
     )
 
@@ -66,6 +73,11 @@ def main():
     o, d = cam.rays(np)
     o = jnp.asarray(o)
     d = jnp.asarray(d)
+    if use_tile:
+        o_t, d_t, corners, _grid = tile_mod.tile_rays(cam, np)
+        o_t = jnp.asarray(o_t)
+        d_t = jnp.asarray(d_t)
+        corners = jnp.asarray(corners)
     light = jnp.asarray([-0.5, -1.0, -0.3], jnp.float32)
     albedo = jnp.asarray(svo.leaf_albedo)
     normal = jnp.asarray(svo.leaf_normal)
@@ -76,7 +88,24 @@ def main():
     # each run() ends in a host transfer of a value that depends on every
     # output — block_until_ready alone is not a reliable fence on the
     # experimental axon backend
-    if use_brick:
+    if use_tile:
+        target_t = jnp.zeros((o.shape[0], 3), jnp.float32)
+        tile_k = int(os.environ.get("BENCH_TILE_K", "96"))
+        if mode == "fwd":
+            def run(tag):
+                img, residual = diff.render_diff_tile(
+                    albedo, normal, density, tsvo, o_t, d_t, corners,
+                    light + tag, k_max=tile_k)
+                return float(jnp.sum(img) + residual)
+        else:
+            def run(tag):
+                loss, grads = diff.loss_and_grads_tile(
+                    albedo, normal, density, tsvo, o_t, d_t, corners,
+                    light + tag, target_t, k_max=tile_k)
+                gsum = sum(jnp.sum(jnp.abs(g))
+                           for g in jax.tree_util.tree_leaves(grads))
+                return float(loss + gsum)
+    elif use_brick:
         if mode == "fwd":
             def run(tag):
                 img = diff.render_diff_brick(

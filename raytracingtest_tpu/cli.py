@@ -60,7 +60,31 @@ def cmd_render(args):
         width=args.width, height=args.height,
         ortho_height=args.ortho_height)
     rnd = RenderConfig(samples=args.samples, volumetric_k=args.volumetric_k)
-    if args.volumetric_k > 0:
+    if args.lod_coef > 0.0:
+        # LOD render (Trace.cu:135-136 ray_size semantics) through the
+        # production brick path; interior hits shade from averaged node
+        # attributes (ops/lod.py)
+        import numpy as _np
+        import jax.numpy as jnp
+        from raytracingtest_tpu.ops import brick as brick_mod
+        from raytracingtest_tpu.ops import lod as lod_mod
+        from raytracingtest_tpu.models.renderers import _camera
+        camera = _camera(cam)
+        o, d = camera.rays(_np)
+        node_albedo, node_normal = lod_mod.compute_node_attributes(svo)
+        if svo.depth >= brick_mod.BRICK_LEVELS + 1:
+            bsvo = brick_mod.make_brick_svo(svo).device()
+            res = brick_mod.trace_brick_lod_jax(
+                bsvo, jnp.asarray(o), jnp.asarray(d), args.lod_coef)
+            img = _np.asarray(lod_mod.shade_lod(
+                svo, node_albedo, node_normal, res, d)).reshape(
+                args.height, args.width, 3)
+        else:
+            img, _ = lod_mod.render_lod(svo, node_albedo, node_normal,
+                                        jnp.asarray(o), jnp.asarray(d),
+                                        args.lod_coef)
+            img = _np.asarray(img).reshape(args.height, args.width, 3)
+    elif args.volumetric_k > 0:
         model = VolumetricRenderer(svo, k=args.volumetric_k)
         img = model.render(cam, rnd)
     else:
@@ -171,6 +195,10 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pr = sub.add_parser("render", help="render a scene to PNG")
+    pr.add_argument("--lod-coef", type=float, default=0.0,
+                    help="LOD footprint coefficient (>0 enables ray-size "
+                    "early exit through the brick path; ~2*tan(fov/2)/H "
+                    "matches one pixel)")
     pr.add_argument("--scene", default="terrain")
     pr.add_argument("--depth", type=int, default=8)
     pr.add_argument("--width", type=int, default=512)

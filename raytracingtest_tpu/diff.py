@@ -37,12 +37,16 @@ def gather_voxel_params(albedo, normal, density, leaf_id):
     leaf_id must be pre-clamped to [0, n_leaves); masking of misses happens
     in the shading function (their cotangents are zero, so the backward
     scatter is unaffected).
+
+    The three parameter arrays are packed into one (n_leaves, 7) row so the
+    forward pass is ONE row gather instead of three (on this TPU gathers
+    cost ~3 ns/row regardless of row width up to ~68B — PROFILE.md; the
+    pack itself is a cheap streaming concat).
     """
-    return (
-        jnp.take(albedo, leaf_id, axis=0),
-        jnp.take(normal, leaf_id, axis=0),
-        jnp.take(density, leaf_id, axis=0),
-    )
+    packed = jnp.concatenate(
+        [albedo, normal, density[:, None]], axis=1)
+    rows = jnp.take(packed, leaf_id, axis=0)
+    return rows[:, 0:3], rows[:, 3:6], rows[:, 6]
 
 
 def _gather_fwd(albedo, normal, density, leaf_id):
@@ -54,22 +58,16 @@ def _gather_bwd(res, cot):
     leaf_id, n_leaves = res
     g_alb, g_nrm, g_den = cot
     # sort cotangents by leaf id -> contiguous segments -> one deterministic
-    # segment reduction (atomic-free scatter)
+    # segment reduction (atomic-free scatter); packed so the permutation
+    # gather and the segment reduction each run once
     order = jnp.argsort(leaf_id)
     sorted_ids = jnp.take(leaf_id, order)
-    d_alb = jax.ops.segment_sum(
-        jnp.take(g_alb, order, axis=0), sorted_ids,
+    g_packed = jnp.concatenate([g_alb, g_nrm, g_den[:, None]], axis=1)
+    d_packed = jax.ops.segment_sum(
+        jnp.take(g_packed, order, axis=0), sorted_ids,
         num_segments=n_leaves, indices_are_sorted=True,
     )
-    d_nrm = jax.ops.segment_sum(
-        jnp.take(g_nrm, order, axis=0), sorted_ids,
-        num_segments=n_leaves, indices_are_sorted=True,
-    )
-    d_den = jax.ops.segment_sum(
-        jnp.take(g_den, order, axis=0), sorted_ids,
-        num_segments=n_leaves, indices_are_sorted=True,
-    )
-    return d_alb, d_nrm, d_den, None
+    return d_packed[:, 0:3], d_packed[:, 3:6], d_packed[:, 6], None
 
 
 gather_voxel_params.defvjp(_gather_fwd, _gather_bwd)
@@ -209,6 +207,11 @@ def render_diff_pallas(albedo, normal, density, masks, child_base, leaf_base,
     hits — tested). Traversal is non-differentiable structure; the shading
     segment-sum VJP composes unchanged."""
     from raytracingtest_tpu.ops import traverse_pallas
+    n = o.shape[0]
+    if n % traverse_pallas.TILE_N:
+        raise ValueError(
+            f"ray count {n} not a multiple of {traverse_pallas.TILE_N} "
+            "(pad upstream; the Pallas kernel tiles rays in (8,128) blocks)")
     res = traverse_pallas._trace_pallas(masks, child_base, leaf_base, o, d,
                                         depth, interpret=interpret)
     hit_leaf = jax.lax.stop_gradient(res.hit_leaf)
@@ -261,6 +264,46 @@ def l2_loss_brick(albedo, normal, density, top_masks, top_child, top_parent,
 loss_and_grads_brick = jax.jit(
     jax.value_and_grad(l2_loss_brick, argnums=(0, 1, 2)),
     static_argnames=("depth", "top_depth"),
+)
+
+
+# ---------------------------------------------------------------------------
+# tile-amortized hot path (ops/tile.py): the production forward traversal —
+# frustum-shared structure walks + in-jit exact fallback. Rays must be
+# tile-major (tile.tile_rays); same differentiable shading VJP.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("k_max", "chunk_tiles", "fb_width"))
+def render_diff_tile(albedo, normal, density, tsvo, o, d, corners,
+                     light_dir, light_intensity=1.3, light_ambient=0.08,
+                     k_max=64, chunk_tiles=256, fb_width=32768):
+    """Differentiable render via the tile traversal (hits bit-identical to
+    render_diff — tested). o/d: (T, P, 3) tile-major; returns ((T*P, 3)
+    radiance, residual-unresolved count)."""
+    from raytracingtest_tpu.ops import tile as tile_mod
+    caps = tile_mod._default_caps(tsvo.top_depth, k_max)
+    b = tsvo.bsvo
+    res, residual = tile_mod._trace_tile_fb(
+        tsvo.pyr, tsvo.cellmap, b.bricks, b.top_masks, b.top_child,
+        b.top_parent, o, d, corners, o[0, 0], tsvo.depth, tsvo.top_depth,
+        caps, k_max, chunk_tiles, fb_width)
+    hit_leaf = jax.lax.stop_gradient(res.hit_leaf)
+    img = shade_diff(hit_leaf, d.reshape(-1, 3), albedo, normal, density,
+                     light_dir, light_intensity, light_ambient)
+    return img, jnp.sum(residual)
+
+
+def l2_loss_tile(albedo, normal, density, tsvo, o, d, corners, light_dir,
+                 target, k_max=64, chunk_tiles=256, fb_width=32768):
+    img, _ = render_diff_tile(albedo, normal, density, tsvo, o, d, corners,
+                              light_dir, k_max=k_max,
+                              chunk_tiles=chunk_tiles, fb_width=fb_width)
+    return jnp.mean((img - target) ** 2)
+
+
+loss_and_grads_tile = jax.jit(
+    jax.value_and_grad(l2_loss_tile, argnums=(0, 1, 2)),
+    static_argnames=("k_max", "chunk_tiles", "fb_width"),
 )
 
 

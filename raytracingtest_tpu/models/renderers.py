@@ -30,7 +30,8 @@ from raytracingtest_tpu.config import CameraConfig, RenderConfig
 from raytracingtest_tpu.ops.camera import Camera, OctreeFrame
 from raytracingtest_tpu.ops.octree import SVO
 from raytracingtest_tpu.parallel.mesh import make_mesh, ray_sharding
-from raytracingtest_tpu.parallel.render_sharded import make_train_step
+from raytracingtest_tpu.parallel.render_sharded import (
+    make_train_step, make_train_step_brick)
 
 
 def _camera(cfg: CameraConfig) -> Camera:
@@ -41,15 +42,19 @@ def _camera(cfg: CameraConfig) -> Camera:
 
 def _brick_of(obj):
     """Lazy cached brick decomposition of a model's SVO (None when the tree
-    is too shallow for bricks — shallow trees use the plain path)."""
+    is too shallow for bricks — shallow trees use the plain path). Keyed on
+    the SVO object identity so reassigning `renderer.svo` invalidates the
+    cache instead of silently rendering the stale structure."""
     from raytracingtest_tpu.ops import brick as brick_mod
-    if not hasattr(obj, "_bsvo_cache"):
+    cache = getattr(obj, "_bsvo_cache", None)
+    if cache is None or cache[0] != id(obj.svo):
         if obj.svo.depth >= brick_mod.BRICK_LEVELS + 1:
-            object.__setattr__(obj, "_bsvo_cache",
-                               brick_mod.make_brick_svo(obj.svo).device())
+            bsvo = brick_mod.make_brick_svo(obj.svo).device()
         else:
-            object.__setattr__(obj, "_bsvo_cache", None)
-    return obj._bsvo_cache
+            bsvo = None
+        cache = (id(obj.svo), bsvo)
+        object.__setattr__(obj, "_bsvo_cache", cache)
+    return cache[1]
 
 
 @dataclasses.dataclass
@@ -147,7 +152,16 @@ class InverseRenderer:
         self.optimizer = optax.multi_transform(
             {"train": optax.adam(self.learning_rate),
              "freeze": optax.set_to_zero()}, labels)
-        self._step = make_train_step(self.mesh, self.svo.depth, self.optimizer)
+        # the fit runs on the production brick traversal when the tree is
+        # deep enough (bit-identical hits -> identical loss/grads; tested)
+        self._bsvo = _brick_of(self)
+        if self._bsvo is not None:
+            self._step = make_train_step_brick(
+                self.mesh, self.svo.depth, self._bsvo.top_depth,
+                self.optimizer)
+        else:
+            self._step = make_train_step(self.mesh, self.svo.depth,
+                                         self.optimizer)
 
     def init_params(self, seed: int = 0, randomize=("albedo",)):
         rng = np.random.default_rng(seed)
@@ -170,6 +184,10 @@ class InverseRenderer:
         return o, d, jax.device_put(jnp.asarray(target), sh)
 
     def step(self, params, opt_state, o, d, light, target):
+        if self._bsvo is not None:
+            b = self._bsvo
+            return self._step(params, opt_state, b.top_masks, b.top_child,
+                              b.top_parent, b.bricks, o, d, light, target)
         return self._step(params, opt_state, self.svo.masks,
                           self.svo.child_base, self.svo.leaf_base, o, d,
                           light, target)

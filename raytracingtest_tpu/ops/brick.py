@@ -57,8 +57,19 @@ TOP_DRAIN = 8
 # per-iteration cost on the TPU; unrolling amortizes it at the price of up
 # to UNROLL-1 wasted masked steps per ray at loop exit).
 import os as _os
-TOP_UNROLL = int(_os.environ.get("RTT_TOP_UNROLL", "4"))
-DDA_UNROLL = int(_os.environ.get("RTT_DDA_UNROLL", "6"))
+
+
+def _env_int(name, default, minimum):
+    v = int(_os.environ.get(name, str(default)))
+    if v < minimum:
+        raise ValueError(
+            f"{name}={v} is invalid (< {minimum}): an unroll below 1 makes "
+            "the while_loop counter never advance (device hang)")
+    return v
+
+
+TOP_UNROLL = _env_int("RTT_TOP_UNROLL", 4, 1)
+DDA_UNROLL = _env_int("RTT_DDA_UNROLL", 6, 1)
 
 
 @jax.tree_util.register_dataclass
@@ -210,10 +221,16 @@ def _sel16(words, w):
     return jnp.where((w & 1) != 0, t[:, 1], t[:, 0])
 
 
-def _top_step(st, nodes_packed):
+def _top_step(st, nodes_packed, lod=None):
     """One structure iteration: _fast_step on the top tree, except entering a
     leaf child PARKS the ray at that brick (records brick id + keeps the full
-    traversal state for the post-DDA resume) instead of terminating."""
+    traversal state for the post-DDA resume) instead of terminating.
+
+    lod=(coef, bias, n_top): LOD early-exit at top-tree levels (the brick
+    level inclusive — hit_node = n_top + brick_id matches the original SVO's
+    node row for the brick's node). Footprints finer than a brick walk the
+    full DDA (extra detail, never less; Trace.cu:135-136 semantics above the
+    brick cut)."""
     f32, i32 = jnp.float32, jnp.int32
     runnable = ~st["done"] & ~st["parked"]
 
@@ -250,12 +267,28 @@ def _top_step(st, nodes_packed):
     # ---- brick entry: park (leaf children of the top tree are bricks) ----
     park_now = enter & leaf_bit
     leaf_rank = popc8(vm & lm & below, jnp)
+    node_rank = popc8(vm & ~lm & below, jnp)
+    done = st["done"]
+    if lod is not None:
+        coef, bias, n_top = lod
+        big = tc_max * coef + bias >= half * f32(2.0)
+        small_node = enter & ~leaf_bit & big
+        small_brick = park_now & big
+        park_now = park_now & ~big
+        hit_node = jnp.where(
+            small_node, cbase + node_rank,
+            jnp.where(small_brick, n_top + cbase + leaf_rank,
+                      st["hit_node"]))
+        hit_t_lod = jnp.where(small_node | small_brick, st["t_min"],
+                              st["hit_t"])
+        done = done | small_node | small_brick
     brick_id = jnp.where(park_now, cbase + leaf_rank, st["brick_id"])
     parked = st["parked"] | park_now
 
     # ---- PUSH ----
     push = enter & ~leaf_bit
-    node_rank = popc8(vm & ~lm & below, jnp)
+    if lod is not None:
+        push = push & ~small_node
     parent = jnp.where(push, cbase + node_rank, st["parent"])
 
     t_center = half[:, None] * st["t_coef"] + t_corner
@@ -270,6 +303,8 @@ def _top_step(st, nodes_packed):
 
     # ---- ADVANCE / POP ----
     adv_any = runnable & ~push & ~park_now
+    if lod is not None:
+        adv_any = adv_any & ~small_node & ~small_brick
     step_bits = t_corner <= tc_max[:, None]
     step_mask = jnp.sum(jnp.where(step_bits, bit[None, :], 0), axis=1,
                         dtype=i32)
@@ -284,7 +319,7 @@ def _top_step(st, nodes_packed):
 
     new_scale = st["scale"] + 1
     exit_root = pop & (new_scale >= S_MAX)
-    done = st["done"] | exit_root
+    done = done | exit_root
     pop_ok = pop & ~exit_root
     pos = jnp.where(pop_ok[:, None], parent_pos, pos)
     idx = jnp.where(
@@ -294,7 +329,7 @@ def _top_step(st, nodes_packed):
     parent = jnp.where(pop_ok, pptr, parent)
     scale = jnp.where(pop_ok, new_scale, scale)
 
-    return dict(
+    out = dict(
         pos=pos, idx=idx, parent=parent, scale=scale, t_min=t_min,
         octant_mask=st["octant_mask"], t_coef=st["t_coef"],
         t_bias=st["t_bias"], done=done, popped=pop_ok, parked=parked,
@@ -302,9 +337,14 @@ def _top_step(st, nodes_packed):
         hit_parent=st["hit_parent"], hit_child=st["hit_child"],
         iters=st["iters"] + runnable.astype(i32),
     )
+    if lod is not None:
+        out["hit_node"] = hit_node
+        out["hit_t"] = hit_t_lod
+    return out
 
 
-def _brick_round(st, nodes_packed, bricks, depth, top_depth, n_max_top):
+def _brick_round(st, nodes_packed, bricks, depth, top_depth, n_max_top,
+                 lod=None):
     """One round: drain the structure loop, fetch parked rays' bricks, run
     the gather-free DDA, and fold results back into the structure state."""
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
@@ -319,7 +359,7 @@ def _brick_round(st, nodes_packed, bricks, depth, top_depth, n_max_top):
     def top_body(carry):
         i, s = carry
         for _ in range(TOP_UNROLL):
-            s = _top_step(s, nodes_packed)
+            s = _top_step(s, nodes_packed, lod=lod)
         return i + TOP_UNROLL, s
 
     _, st = jax.lax.while_loop(top_cond, top_body, (jnp.int32(0), st))
@@ -429,11 +469,23 @@ def _brick_round(st, nodes_packed, bricks, depth, top_depth, n_max_top):
 # phase-compaction schedule (same rationale as traverse._trace_core)
 COMPACT_FACTOR = 4
 COMPACT_MIN = 2048
-TRACE_CHUNK = int(_os.environ.get("RTT_TRACE_CHUNK", "65536"))
+TRACE_CHUNK = _env_int("RTT_TRACE_CHUNK", 65536, 1)
+
+
+def _chunked(n):
+    """Chunk count for an n-ray trace; warns when chunking silently falls
+    through to one full-width loop (non-divisible ray counts)."""
+    if n > TRACE_CHUNK and n % TRACE_CHUNK:
+        import warnings
+        warnings.warn(
+            f"ray count {n} is not a multiple of RTT_TRACE_CHUNK="
+            f"{TRACE_CHUNK}; tracing unchunked (one full-width loop; "
+            "expect long compiles at large widths)", stacklevel=3)
+    return n // TRACE_CHUNK if n > TRACE_CHUNK and n % TRACE_CHUNK == 0 else 0
 
 
 def _trace_brick_core(top_masks, top_child, top_parent, bricks, origin,
-                      direction, depth, top_depth):
+                      direction, depth, top_depth, lod=None):
     i32 = jnp.int32
     nodes_packed = jnp.stack([top_masks, top_child, top_parent], axis=1)
     st0 = init_state(origin, direction, top_depth, jnp)
@@ -447,11 +499,16 @@ def _trace_brick_core(top_masks, top_child, top_parent, bricks, origin,
         hit_parent=jnp.full(n, -1, i32), hit_child=st0.hit_child,
         iters=st0.iters,
     )
+    if lod is not None:
+        st["hit_node"] = jnp.full(n, -1, i32)
     n_max_top = max_iters_for_depth(top_depth)
     # rounds bound: generous; the loop exits when every ray is done
     n_max_rounds = 16 * depth + 64
 
-    out_keys = ("hit_leaf", "hit_t", "hit_parent", "hit_child", "iters")
+    out_keys = ("hit_leaf", "hit_t", "hit_parent", "hit_child")
+    if lod is not None:
+        out_keys = out_keys + ("hit_node",)
+    out_keys = out_keys + ("iters",)
     outs = {k: st[k] for k in out_keys}
     orig = jnp.arange(n, dtype=i32)
     st["orig"] = orig
@@ -480,7 +537,7 @@ def _trace_brick_core(top_masks, top_child, top_parent, bricks, origin,
             extra = {"orig": s["orig"], "base_iters": s["base_iters"]}
             core = {k: v for k, v in s.items() if k not in extra}
             core = _brick_round(core, nodes_packed, bricks, depth, top_depth,
-                                n_max_top)
+                                n_max_top, lod=lod)
             core.update(extra)
             return r + 1, core
 
@@ -501,7 +558,8 @@ def _trace_brick_core(top_masks, top_child, top_parent, bricks, origin,
             st["iters"] = jnp.zeros(next_width, i32)
 
     return TraceResult(outs["hit_leaf"], outs["hit_t"], outs["hit_parent"],
-                       outs["hit_child"], outs["iters"])
+                       outs["hit_child"], outs["iters"],
+                       outs["hit_node"] if lod is not None else None)
 
 
 def _trace_brick_multi_core(top_masks, top_child, top_parent, bricks,
@@ -667,8 +725,8 @@ def _trace_brick_multi_jax(top_masks, top_child, top_parent, bricks, origin,
                            direction, depth, top_depth, k):
     from raytracingtest_tpu.ops.traverse import MultiTraceResult
     n = origin.shape[0]
-    if n > TRACE_CHUNK and n % TRACE_CHUNK == 0:
-        g = n // TRACE_CHUNK
+    g = _chunked(n)
+    if g:
         o_c = origin.reshape(g, TRACE_CHUNK, 3)
         d_c = direction.reshape(g, TRACE_CHUNK, 3)
         res = jax.lax.map(
@@ -698,8 +756,8 @@ def trace_brick_multi_jax(bsvo: BrickSVO, origin, direction, k=4):
 def _trace_brick_jax(top_masks, top_child, top_parent, bricks, origin,
                      direction, depth, top_depth):
     n = origin.shape[0]
-    if n > TRACE_CHUNK and n % TRACE_CHUNK == 0:
-        g = n // TRACE_CHUNK
+    g = _chunked(n)
+    if g:
         o_c = origin.reshape(g, TRACE_CHUNK, 3)
         d_c = direction.reshape(g, TRACE_CHUNK, 3)
         res = jax.lax.map(
@@ -713,6 +771,45 @@ def _trace_brick_jax(top_masks, top_child, top_parent, bricks, origin,
             res.iters.reshape(n))
     return _trace_brick_core(top_masks, top_child, top_parent, bricks,
                              origin, direction, depth, top_depth)
+
+
+@partial(jax.jit, static_argnames=("depth", "top_depth"))
+def _trace_brick_lod_jax(top_masks, top_child, top_parent, bricks, origin,
+                         direction, depth, top_depth, coef, bias):
+    lod = (jnp.float32(coef), jnp.float32(bias),
+           jnp.int32(top_masks.shape[0]))
+    n = origin.shape[0]
+    g = _chunked(n)
+    if g:
+        o_c = origin.reshape(g, TRACE_CHUNK, 3)
+        d_c = direction.reshape(g, TRACE_CHUNK, 3)
+        res = jax.lax.map(
+            lambda od: _trace_brick_core(top_masks, top_child, top_parent,
+                                         bricks, od[0], od[1], depth,
+                                         top_depth, lod=lod),
+            (o_c, d_c))
+        return TraceResult(
+            res.hit_leaf.reshape(n), res.hit_t.reshape(n),
+            res.hit_parent.reshape(n), res.hit_child.reshape(n),
+            res.iters.reshape(n), res.hit_node.reshape(n))
+    return _trace_brick_core(top_masks, top_child, top_parent, bricks,
+                             origin, direction, depth, top_depth, lod=lod)
+
+
+def trace_brick_lod_jax(bsvo: BrickSVO, origin, direction, pixel_size_coef,
+                        pixel_size_bias=0.0) -> TraceResult:
+    """LOD trace on the brick path (Trace.cu:135-136 ray_size semantics):
+    descent stops when the child size falls below the ray footprint, at
+    top-tree levels INCLUDING the brick level (hit_node uses original-SVO
+    node rows: top rows coincide and a brick-level stop maps to
+    n_top + brick_id). Footprints finer than a brick walk the exact DDA to
+    the leaf — never less detail than requested."""
+    return _trace_brick_lod_jax(
+        jnp.asarray(bsvo.top_masks), jnp.asarray(bsvo.top_child),
+        jnp.asarray(bsvo.top_parent), jnp.asarray(bsvo.bricks),
+        jnp.asarray(origin, jnp.float32),
+        jnp.asarray(direction, jnp.float32), bsvo.depth, bsvo.top_depth,
+        float(pixel_size_coef), float(pixel_size_bias))
 
 
 def trace_brick_jax(bsvo: BrickSVO, origin, direction) -> TraceResult:

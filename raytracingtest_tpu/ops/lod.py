@@ -69,6 +69,13 @@ def render_lod(svo, node_albedo, node_normal, o, d, pixel_size_coef,
     """Forward render with LOD early-exit; node hits shade from averaged
     interior attributes, leaf hits from leaf attributes. Returns (N,3)."""
     res = traverse.trace_lod_jax(svo, o, d, pixel_size_coef)
+    return shade_lod(svo, node_albedo, node_normal, res, d, light), res
+
+
+def shade_lod(svo, node_albedo, node_normal, res, d, light: Light = Light()):
+    """Shade an LOD TraceResult (from trace_lod_jax or the brick path's
+    trace_brick_lod_jax — hit_node rows are original-SVO node rows in both).
+    Returns (N,3) radiance."""
     is_node = res.hit_node >= 0
     is_leaf = res.hit_leaf >= 0
     leaf_alb = jnp.take(jnp.asarray(svo.leaf_albedo),
@@ -88,4 +95,4 @@ def render_lod(svo, node_albedo, node_normal, o, d, pixel_size_coef,
     lit = alb * (ndotl * light.intensity + light.ambient)[:, None]
     sky = sky_color(jnp.asarray(d, jnp.float32), jnp)
     hit_any = is_node | is_leaf
-    return jnp.where(hit_any[:, None], lit, sky), res
+    return jnp.where(hit_any[:, None], lit, sky)

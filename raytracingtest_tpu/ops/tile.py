@@ -587,6 +587,54 @@ def trace_tile(tsvo: TileSVO, o, d, corners, k_max=48, caps=None,
         tsvo.depth, tsvo.top_depth, caps, k_max, chunk_tiles)
 
 
+@partial(jax.jit,
+         static_argnames=("depth", "top_depth", "caps", "k_max",
+                          "chunk_tiles", "fb_width"))
+def _trace_tile_fb(pyr, cellmap, bricks, top_masks, top_child, top_parent,
+                   o, d, corners, apex, depth, top_depth, caps, k_max,
+                   chunk_tiles, fb_width):
+    """trace_tile + in-jit exact fallback: unresolved rays are compacted
+    into a static fb_width bucket and re-traced on the per-ray brick path
+    inside the same program (one dispatch end to end). Returns
+    (TraceResult, residual unresolved mask — rays beyond the bucket)."""
+    from raytracingtest_tpu.ops import brick as brick_mod
+    res, unresolved = _trace_tile(pyr, cellmap, bricks, o, d, corners, apex,
+                                  depth, top_depth, caps, k_max, chunk_tiles)
+    n = res.hit_leaf.shape[0]
+    order = jnp.argsort(~unresolved)            # unresolved rays first
+    sel = order[:fb_width]
+    m = jnp.take(unresolved, sel)
+    # padding slots (already-resolved rays) become instant-miss rays so the
+    # fallback's loops drain as soon as the real unresolved rays finish
+    o_f = jnp.where(m[:, None], jnp.take(o.reshape(n, 3), sel, axis=0), 2.0)
+    d_f = jnp.where(m[:, None], jnp.take(d.reshape(n, 3), sel, axis=0), 1.0)
+    fb = brick_mod._trace_brick_core(top_masks, top_child, top_parent,
+                                     bricks, o_f, d_f, depth, top_depth)
+    hit_leaf = res.hit_leaf.at[sel].set(
+        jnp.where(m, fb.hit_leaf, jnp.take(res.hit_leaf, sel)))
+    hit_t = res.hit_t.at[sel].set(
+        jnp.where(m, fb.hit_t, jnp.take(res.hit_t, sel)))
+    residual = unresolved.at[sel].set(False)
+    return TraceResult(hit_leaf, hit_t, res.hit_parent, res.hit_child,
+                       res.iters), residual
+
+
+def trace_tile_fb(tsvo: TileSVO, o, d, corners, k_max=64, caps=None,
+                  chunk_tiles=256, fb_width=32768):
+    """Single-dispatch tile trace with in-jit exact fallback. The residual
+    mask is nonzero only when more than fb_width rays were unresolved."""
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+    caps = caps or _default_caps(tsvo.top_depth, k_max)
+    b = tsvo.bsvo
+    return _trace_tile_fb(
+        jnp.asarray(tsvo.pyr), jnp.asarray(tsvo.cellmap),
+        jnp.asarray(b.bricks), jnp.asarray(b.top_masks),
+        jnp.asarray(b.top_child), jnp.asarray(b.top_parent),
+        o, d, jnp.asarray(corners, jnp.float32), o[0, 0],
+        tsvo.depth, tsvo.top_depth, caps, k_max, chunk_tiles, fb_width)
+
+
 def trace_tile_exact(tsvo: TileSVO, o, d, corners, k_max=48, caps=None,
                      chunk_tiles=256) -> TraceResult:
     """trace_tile + exact per-ray fallback for unresolved rays (host sync;

@@ -462,6 +462,9 @@ TRACE_CHUNK = int(_os.environ.get("RTT_TRACE_CHUNK", "65536"))
 # per-iteration cost at the price of up to STEP_UNROLL-1 masked no-op steps
 # per ray at exit.
 STEP_UNROLL = int(_os.environ.get("RTT_STEP_UNROLL", "4"))
+if STEP_UNROLL < 1:
+    raise ValueError(f"RTT_STEP_UNROLL={STEP_UNROLL} < 1 would hang the "
+                     "traversal while_loop")
 
 
 @partial(jax.jit, static_argnames=("depth",))

@@ -96,3 +96,48 @@ def make_train_step(mesh, depth, optimizer):
         return params, opt_state, loss
 
     return train_step
+
+
+def make_train_step_brick(mesh, depth, top_depth, optimizer):
+    """Brick-backed sharded train step: the config-4 fit on the production
+    traversal (diff.render_diff_brick) instead of the plain ESVO loop —
+    VERDICT r02 item 4. Same psum gradient all-reduce; same loss semantics
+    (hits are bit-identical between the paths, so losses/grads match the
+    plain step exactly — tested)."""
+
+    def local_loss(params, top_masks, top_child, top_parent, bricks, o_s,
+                   d_s, light_dir, target_s, n_total):
+        img = diff.render_diff_brick(
+            params["albedo"], params["normal"], params["density"],
+            top_masks, top_child, top_parent, bricks, o_s, d_s, depth,
+            top_depth, light_dir)
+        return jnp.sum((img - target_s) ** 2) / n_total
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(),
+                  P(RAY_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def _loss_grads(params, top_masks, top_child, top_parent, bricks, o_s,
+                    d_s, light_dir, target_s):
+        n_total = target_s.size * jax.lax.psum(1, RAY_AXIS)
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, top_masks, top_child, top_parent, bricks, o_s, d_s,
+            light_dir, target_s, n_total)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, RAY_AXIS), grads)
+        loss = jax.lax.psum(loss, RAY_AXIS)
+        return loss, grads
+
+    @jax.jit
+    def train_step(params, opt_state, top_masks, top_child, top_parent,
+                   bricks, o, d, light_dir, target):
+        loss, grads = _loss_grads(params, top_masks, top_child, top_parent,
+                                  bricks, o, d, light_dir, target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step

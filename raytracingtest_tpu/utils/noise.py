@@ -132,11 +132,19 @@ def noise3(x, y, z, xp=np, seed=0):
 
 def fbm3(x, y, z, xp=np, seed=0, octaves=2, lacunarity=2.0, gain=0.5):
     """Fractal sum of noise3 octaves (the reference's two-octave terrain,
-    Assets/Scripts/Utility/SampleFunctions.cs:40-47)."""
-    if xp is np and np.size(x) >= 16384:
+    Assets/Scripts/Utility/SampleFunctions.cs:40-47).
+
+    Precision note: the native path cascades amp/freq in float32 while the
+    Python path uses float64 literals, so bit-identity between the two holds
+    when gain/lacunarity are exactly representable binary fractions (the
+    0.5/2.0 defaults; e.g. gain=0.7 may drift by ULPs between paths).
+    """
+    if xp is np:
+        # gate on the broadcast size: the batch may live in any operand
+        shape = np.broadcast_shapes(np.shape(x), np.shape(y), np.shape(z))
+    if xp is np and int(np.prod(shape, dtype=np.int64)) >= 16384:
         native = _native()
         if native is not None:
-            shape = np.broadcast_shapes(np.shape(x), np.shape(y), np.shape(z))
             return native.fbm3(
                 np.broadcast_to(np.asarray(x, np.float32), shape).ravel(),
                 np.broadcast_to(np.asarray(y, np.float32), shape).ravel(),

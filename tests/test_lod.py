@@ -81,3 +81,46 @@ def test_render_lod_image(sphere6):
     assert err.mean() < 0.25
     # and it really used interior nodes
     assert int(jnp.sum(res.hit_node >= 0)) > 50
+
+
+def test_brick_lod_parity_coarse():
+    """Brick-path LOD (brick.trace_brick_lod_jax) vs plain trace_lod_jax:
+    with a footprint that always stops at/above the brick level the two are
+    bit-identical (hit_node in original-SVO rows, same t)."""
+    import raytracingtest_tpu as rt
+    from raytracingtest_tpu.ops import brick, traverse
+    from raytracingtest_tpu.ops.camera import Camera
+    import jax.numpy as jnp
+    res = rt.build_svo(rt.get_scene("terrain"), 6)
+    svo = res.svo.device()
+    bs = brick.make_brick_svo(res.svo).device()
+    cam = Camera(position=(0.5, 0.85, -0.6), look_at=(0.5, 0.4, 0.5),
+                 fov_y_deg=50.0, width=64, height=64)
+    o, d = cam.rays(np)
+    coef = 0.4  # footprint ~0.4t: stops well above the 1/8 brick size
+    r0 = traverse.trace_lod_jax(svo, jnp.asarray(o), jnp.asarray(d), coef)
+    r1 = brick.trace_brick_lod_jax(bs, jnp.asarray(o), jnp.asarray(d), coef)
+    np.testing.assert_array_equal(np.asarray(r0.hit_node),
+                                  np.asarray(r1.hit_node))
+    np.testing.assert_array_equal(np.asarray(r0.hit_leaf),
+                                  np.asarray(r1.hit_leaf))
+    np.testing.assert_array_equal(np.asarray(r0.hit_t), np.asarray(r1.hit_t))
+    assert (np.asarray(r0.hit_node) >= 0).sum() > 50  # LOD actually fires
+
+
+def test_brick_lod_zero_coef_is_exact():
+    """coef=0: no early exit anywhere — identical to the non-LOD brick trace."""
+    import raytracingtest_tpu as rt
+    from raytracingtest_tpu.ops import brick
+    import jax.numpy as jnp
+    res = rt.build_svo(rt.get_scene("sphere"), 5)
+    bs = brick.make_brick_svo(res.svo).device()
+    rng = np.random.default_rng(3)
+    o = (rng.random((2048, 3), np.float32) * 1.4 - 0.2).astype(np.float32)
+    d = rng.standard_normal((2048, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    r0 = brick.trace_brick_jax(bs, jnp.asarray(o), jnp.asarray(d))
+    r1 = brick.trace_brick_lod_jax(bs, jnp.asarray(o), jnp.asarray(d), 0.0)
+    np.testing.assert_array_equal(np.asarray(r0.hit_leaf),
+                                  np.asarray(r1.hit_leaf))
+    assert (np.asarray(r1.hit_node) == -1).all()

@@ -106,3 +106,48 @@ def test_inverse_rendering_fit_converges(setup):
             o, d, LIGHT, target)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.05, losses[::10]
+
+
+def test_brick_train_step_matches_plain():
+    """The config-4 fit on the brick traversal produces the same loss and
+    the same updated params as the plain-path step (hits are bit-identical,
+    so the whole optimization trajectory coincides)."""
+    import optax
+    from raytracingtest_tpu.ops import brick as brick_mod
+    from raytracingtest_tpu.parallel.render_sharded import (
+        make_train_step, make_train_step_brick)
+    from raytracingtest_tpu.parallel.mesh import make_mesh
+
+    import raytracingtest_tpu as rt
+    res = rt.build_svo(rt.get_scene("sphere"), 5)
+    svo = res.svo.device()
+    bsvo = brick_mod.make_brick_svo(res.svo).device()
+    mesh = make_mesh()
+    opt = optax.adam(1e-2)
+    step_plain = make_train_step(mesh, svo.depth, opt)
+    step_brick = make_train_step_brick(mesh, svo.depth, bsvo.top_depth, opt)
+
+    rng = np.random.default_rng(0)
+    n = 4096
+    o = np.tile(np.asarray([[0.5, 0.85, -0.6]], np.float32), (n, 1))
+    d = rng.standard_normal((n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 0.3
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    light = jnp.asarray([-0.5, -1.0, -0.3], jnp.float32)
+    target = jnp.zeros((n, 3), jnp.float32)
+    params = {
+        "albedo": jnp.asarray(res.svo.leaf_albedo),
+        "normal": jnp.asarray(res.svo.leaf_normal),
+        "density": jnp.asarray(res.svo.leaf_density),
+    }
+    st = opt.init(params)
+    p1, _, l1 = step_plain(params, st, svo.masks, svo.child_base,
+                           svo.leaf_base, jnp.asarray(o), jnp.asarray(d),
+                           light, target)
+    p2, _, l2 = step_brick(params, st, bsvo.top_masks, bsvo.top_child,
+                           bsvo.top_parent, bsvo.bricks, jnp.asarray(o),
+                           jnp.asarray(d), light, target)
+    assert float(l1) == float(l2)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p2[k]),
+                                   rtol=0, atol=0)
