@@ -22,10 +22,18 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # multi-host entry (BASELINE config 5): a no-op on a single host; with
+    # RAYT_MULTIHOST=auto or JAX_COORDINATOR_ADDRESS set, each process
+    # joins the jax.distributed job and benches process-local ray rows
+    from raytracingtest_tpu.parallel import multihost
+    mh = multihost.init_from_env()
+
     # fail fast if the TPU tunnel is held by another process (the axon
     # backend registers at interpreter startup; a late failure would waste
     # the whole host-side build)
     print(f"# devices: {jax.devices()}", file=sys.stderr)
+    if mh["process_count"] > 1:
+        return _main_multihost(mh)
 
     from raytracingtest_tpu import build_svo, get_scene
     from raytracingtest_tpu import diff
@@ -183,6 +191,67 @@ def main():
         "unit": "rays/s",
         "vs_baseline": rays_per_s / 2.0e9,
     }))
+
+
+def _main_multihost(mh):
+    """Config-5 shape: rays sharded over ALL hosts' devices; each process
+    generates only its pixel rows, assembles global arrays, and runs the
+    sharded fwd(+bwd) step. Throughput = global rays / step time."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracingtest_tpu import build_svo, get_scene, diff  # noqa: F401
+    from raytracingtest_tpu.io import checkpoint as _ckpt
+    from raytracingtest_tpu.ops.camera import Camera
+    from raytracingtest_tpu.parallel import multihost
+    from raytracingtest_tpu.parallel.mesh import make_mesh
+    from raytracingtest_tpu.parallel.render_sharded import render_sharded
+
+    depth = int(os.environ.get("BENCH_DEPTH", "10"))
+    res_px = int(os.environ.get("BENCH_RES", "1024"))
+    scene = os.environ.get("BENCH_SCENE", "terrain")
+    iters = int(os.environ.get("BENCH_ITERS", "4"))
+
+    cache = f"/tmp/bench_svo_{scene}_d{depth}.npz"
+    if os.path.exists(cache):
+        svo = _ckpt.load_svo(cache).device()
+    else:
+        svo = build_svo(get_scene(scene), depth).svo.device()
+
+    cam = Camera(position=(0.5, 0.85, -0.6), look_at=(0.5, 0.4, 0.5),
+                 fov_y_deg=50.0, width=res_px, height=res_px)
+    mesh = make_mesh()
+    pr = multihost.process_rows(res_px, res_px)
+    o_l, d_l = multihost.local_camera_rays(cam, pr)
+    o = multihost.global_ray_array(mesh, pr, o_l)
+    d = multihost.global_ray_array(mesh, pr, d_l)
+    light = jnp.asarray([-0.5, -1.0, -0.3], jnp.float32)
+
+    def run(tag):
+        img = render_sharded(mesh, jnp.asarray(svo.leaf_albedo),
+                             jnp.asarray(svo.leaf_normal),
+                             jnp.asarray(svo.leaf_density), svo.masks,
+                             svo.child_base, svo.leaf_base, o, d, depth,
+                             light + tag)
+        # fence on the process-local shard only (no full-image host copy)
+        return float(sum(jnp.sum(s.data) for s in img.addressable_shards))
+
+    zero = jnp.zeros(3, jnp.float32)
+    run(zero)
+    t0 = time.time()
+    for i in range(iters):
+        run(zero * i)
+    dt = (time.time() - t0) / iters
+    n_rays = res_px * res_px
+    if jax.process_index() == 0:
+        print(f"# multihost: {mh['process_count']} processes x "
+              f"{len(jax.local_devices())} local devices", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"rays_per_s_fwd_{res_px}px_depth{depth}_multihost",
+            "value": n_rays / dt,
+            "unit": "rays/s",
+            "vs_baseline": n_rays / dt / 2.0e9,
+        }))
 
 
 if __name__ == "__main__":

@@ -99,6 +99,8 @@ def cmd_render(args):
 def cmd_fit(args):
     """Inverse-rendering fit (BASELINE config 4): recover voxel albedo from
     posed target images, rays sharded over the local device mesh."""
+    from raytracingtest_tpu.parallel import multihost
+    multihost.init_from_env()
     import jax.numpy as jnp
 
     from raytracingtest_tpu import diff

@@ -100,7 +100,7 @@ def test_sharded_trace_matches_direct(sphere6):
     trace = make_sharded_trace(mesh, ls, max_octants=6)
 
     o, d = random_rays(256, seed=7)
-    out_leaf, out_t, out_owner = jax.jit(trace)(
+    out_leaf, out_t, out_owner, truncated = jax.jit(trace)(
         jnp.asarray(ls.trunk_masks), jnp.asarray(ls.trunk_child),
         jnp.asarray(ls.trunk_leaf), jnp.asarray(ls.octant_owner),
         jnp.asarray(ls.octant_root), jnp.asarray(ls.octant_leaf_off),
@@ -110,6 +110,7 @@ def test_sharded_trace_matches_direct(sphere6):
     out_leaf = np.asarray(out_leaf)
     out_t = np.asarray(out_t)
     out_owner = np.asarray(out_owner)
+    assert not np.asarray(truncated).any()
 
     r_ref = traverse.trace_numpy(svo, o, d)
     hit_ref = r_ref.hit_leaf >= 0
@@ -132,3 +133,90 @@ def test_sharded_memory_actually_shards(sphere6):
     # all subtree nodes accounted for
     used = sum(int((ls.arena_masks[dv] != 0).sum()) for dv in range(8))
     assert used > 0
+
+
+def test_grazing_ray_many_octants_no_silent_loss(sphere6):
+    """Adversarial (VERDICT r02 item 6): rays grazing the sphere's surface
+    shell cross many occupied split-level octants before their hit. The
+    while-until-done phase loop must resolve every ray exactly (no
+    truncation), matching the direct trace."""
+    svo = sphere6.svo
+    ls = split_svo(sphere6, split_level=2, n_devices=8)
+    mesh = make_mesh()
+    trace = make_sharded_trace(mesh, ls)  # provable bound, no fixed cap
+
+    # tangential rays: origins on a ring outside the sphere, directions
+    # nearly tangent so they skim through a long run of surface octants
+    n = 128
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    r_ring = 0.49
+    o = np.stack([0.5 + r_ring * np.cos(ang),
+                  np.full(n, 0.5),
+                  0.5 + r_ring * np.sin(ang)], 1).astype(np.float32)
+    # impact parameter ~0.28 < sphere r=0.30: grazing chords through the shell
+    tangent = np.stack([-np.sin(ang), np.zeros(n), np.cos(ang)], 1)
+    inward = np.stack([0.5 - o[:, 0], np.zeros(n), 0.5 - o[:, 2]], 1)
+    inward /= np.linalg.norm(inward, axis=1, keepdims=True)
+    d = (tangent + 1.45 * inward).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    out_leaf, out_t, out_owner, truncated = jax.jit(trace)(
+        jnp.asarray(ls.trunk_masks), jnp.asarray(ls.trunk_child),
+        jnp.asarray(ls.trunk_leaf), jnp.asarray(ls.octant_owner),
+        jnp.asarray(ls.octant_root), jnp.asarray(ls.octant_leaf_off),
+        jnp.asarray(ls.octant_origin), jnp.asarray(ls.arena_masks),
+        jnp.asarray(ls.arena_child), jnp.asarray(ls.arena_leaf),
+        jnp.asarray(o), jnp.asarray(d))
+    assert not np.asarray(truncated).any()
+
+    r_ref = traverse.trace_numpy(svo, o, d)
+    hit_ref = r_ref.hit_leaf >= 0
+    np.testing.assert_array_equal(hit_ref, np.asarray(out_leaf) >= 0)
+    assert hit_ref.sum() > 20  # the adversarial rays do hit
+    np.testing.assert_allclose(np.asarray(out_t)[hit_ref],
+                               r_ref.hit_t[hit_ref], rtol=1e-4, atol=1e-5)
+
+
+def test_exchange_hotspot_truncation_is_flagged(sphere6):
+    """Adversarial: every ray routed to ONE octant owner with a tiny
+    capacity cap. Rays that overflow every round must come back flagged
+    `truncated` — never as silent misses — and a generous-rounds run must
+    resolve them all."""
+    from raytracingtest_tpu.parallel.level_sharded import make_exchange_trace
+
+    svo = sphere6.svo
+    ls = split_svo(sphere6, split_level=2, n_devices=8)
+    mesh = make_mesh()
+
+    # all rays enter through the same octant: aim at one point on the
+    # sphere's +x surface from slightly-jittered directions
+    n = 512
+    rng = np.random.default_rng(5)
+    o = np.tile(np.asarray([[1.4, 0.5, 0.5]], np.float32), (n, 1))
+    aim = np.asarray([0.85, 0.5, 0.5], np.float32)
+    d = aim[None, :] - o + rng.normal(0, 0.01, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    args = (jnp.asarray(ls.trunk_masks), jnp.asarray(ls.trunk_child),
+            jnp.asarray(ls.trunk_leaf), jnp.asarray(ls.octant_owner),
+            jnp.asarray(ls.octant_root), jnp.asarray(ls.octant_origin),
+            jnp.asarray(ls.arena_masks), jnp.asarray(ls.arena_child),
+            jnp.asarray(ls.arena_leaf), jnp.asarray(o), jnp.asarray(d))
+
+    r_ref = traverse.trace_numpy(svo, o, d)
+    hit_ref = r_ref.hit_leaf >= 0
+    assert hit_ref.sum() > 400
+
+    # starved: cap_factor=1 -> per-peer capacity 8 rays/round, 2 rounds
+    starved = make_exchange_trace(mesh, ls, max_rounds=2, cap_factor=1)
+    s_leaf, _, _, _, s_trunc = jax.jit(starved)(*args)
+    s_leaf, s_trunc = np.asarray(s_leaf), np.asarray(s_trunc)
+    # every golden hit is either found or explicitly flagged — none lost
+    lost = hit_ref & (s_leaf < 0) & ~s_trunc
+    assert not lost.any()
+    assert s_trunc.sum() > 0  # the starvation actually bit
+
+    # generous rounds clear the hotspot completely
+    ample = make_exchange_trace(mesh, ls, max_rounds=80, cap_factor=1)
+    a_leaf, _, _, _, a_trunc = jax.jit(ample)(*args)
+    assert not np.asarray(a_trunc).any()
+    np.testing.assert_array_equal(hit_ref, np.asarray(a_leaf) >= 0)

@@ -91,7 +91,7 @@ def test_exchange_trace_matches_direct(sphere6, split8):
     trace = make_exchange_trace(mesh, ls, max_rounds=8, cap_factor=4)
 
     o, d = random_rays(512, seed=13)
-    out_leaf, out_t, out_owner, traced = jax.jit(trace)(
+    out_leaf, out_t, out_owner, traced, truncated = jax.jit(trace)(
         jnp.asarray(ls.trunk_masks), jnp.asarray(ls.trunk_child),
         jnp.asarray(ls.trunk_leaf), jnp.asarray(ls.octant_owner),
         jnp.asarray(ls.octant_root), jnp.asarray(ls.octant_origin),
@@ -101,6 +101,7 @@ def test_exchange_trace_matches_direct(sphere6, split8):
     out_t = np.asarray(out_t)
     out_owner = np.asarray(out_owner)
     traced = np.asarray(traced)
+    assert not np.asarray(truncated).any()
 
     r_ref = traverse.trace_numpy(svo, o, d)
     hit_ref = r_ref.hit_leaf >= 0

@@ -48,7 +48,7 @@ def test_device_clipmap_walk_matches_numpy_and_monolithic():
         leaf_np, t_np, chunk_np = trace_clipmap(
             trunk, (0, 0, 0), clip.octree.root.size, roots, origins, sizes,
             4, arena, o, d, max_chunks=14)
-        leaf_dev, t_dev, chunk_dev = trace_clipmap_device(
+        leaf_dev, t_dev, chunk_dev, trunc_dev = trace_clipmap_device(
             trunk, (0, 0, 0), clip.octree.root.size, roots, origins, sizes,
             4, dev, o, d, max_chunks=14)
         leaf_dev = np.asarray(leaf_dev)
