@@ -84,6 +84,18 @@ def cmd_render(args):
                                         jnp.asarray(o), jnp.asarray(d),
                                         args.lod_coef)
             img = _np.asarray(img).reshape(args.height, args.width, 3)
+    elif args.attachments:
+        # reference production shading: compressed 64-bit attachments
+        # (AttachmentLookup.compute analog)
+        import numpy as _np
+        from raytracingtest_tpu import render as render_mod
+        from raytracingtest_tpu.ops import codecs
+        from raytracingtest_tpu.models.renderers import _camera
+        camera = _camera(cam)
+        o, d = camera.rays(_np)
+        wa, wb = codecs.build_attachments(svo)
+        img = _np.asarray(render_mod.render_attachment(
+            svo, wa, wb, o, d)).reshape(args.height, args.width, 3)
     elif args.volumetric_k > 0:
         model = VolumetricRenderer(svo, k=args.volumetric_k)
         img = model.render(cam, rnd)
@@ -197,6 +209,9 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pr = sub.add_parser("render", help="render a scene to PNG")
+    pr.add_argument("--attachments", action="store_true",
+                    help="shade from the compressed 64-bit attachment words "
+                    "(R5G6B5 palette + normal16) instead of fp attributes")
     pr.add_argument("--lod-coef", type=float, default=0.0,
                     help="LOD footprint coefficient (>0 enables ray-size "
                     "early exit through the brick path; ~2*tan(fov/2)/H "

@@ -1,0 +1,327 @@
+"""Device-side SVO builder: the frontier sweep runs on the TPU.
+
+VERDICT r01 item 9 / r02 item 7. The host build (ops/octree.py build_svo)
+is bound by scene evaluation and numpy bookkeeping (~40 s for depth-10
+terrain on this 2-core host); the same work on the TPU is elementwise VPU
+math (~290 Mpts/s for the terrain SDF once the noise gradient decode is
+branch-free — utils/noise.py) plus segment reductions. This module runs
+every phase on the device:
+
+  A. per-level frontier expansion + Lipschitz pruning (one scene eval per
+     level; candidate buffers live on device, only ONE scalar count per
+     level crosses the host link — the axon tunnel moves ~30 MB/s, so
+     shipping coordinate arrays is the one thing this build must never do)
+  B. exact leaf test (6-neighbor air probe, one batched eval)
+  C. upward pruning + mask/pointer assembly via sorted segment sums
+     (bit-identical layout to the host builder: OR of per-(parent,slot)
+     bits == sum because each bit appears once; first-child == segment_min
+     because candidate order is parent-major)
+  D. leaf attributes (palette albedo + central-difference normals)
+
+Working buffers are padded to power-of-two buckets so jit caches converge
+across levels and scenes (every distinct shape costs a remote compile on
+this backend). The output SVO's arrays are exact-size device arrays; the
+structure is bit-identical to build_svo's (tested) because every keep/leaf
+decision uses the same f32 formulas on the same dyadic inputs.
+
+Reference role: the recursive CPU builder NaiveCreator.Create
+(Assets/Scripts/SVO/CompactSVO/NaiveCreator.cs:10-24, 8^depth sampler calls
+single-threaded) re-designed as data-parallel level sweeps on the
+accelerator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from raytracingtest_tpu.ops.octree import (
+    SVO, CHILD_OFFSETS, default_albedo, compute_parent_ptr,
+)
+
+_SQRT3 = float(np.sqrt(3.0))
+
+
+def _bucket(n: int, lo: int = 1024) -> int:
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
+
+
+@partial(jax.jit, static_argnames=("scene", "level", "depth", "lipschitz"))
+def _expand_eval(cc, valid, *, scene, level, depth, lipschitz):
+    """Expand one level's candidates to children, evaluate the scene at the
+    child centers, and return (child coords, keep mask, f). Padding rows
+    (valid=False) produce keep=False."""
+    f32 = jnp.float32
+    child = (cc[:, None, :] * 2 + jnp.asarray(CHILD_OFFSETS)[None, :, :])
+    child = child.reshape(-1, 3)
+    v8 = jnp.repeat(valid, 8)
+    l = level
+    half = 2.0 ** -(l + 1)
+    finest = 2.0 ** -depth
+    scale_l = f32(2.0 ** -l)
+    px = (child[:, 0].astype(f32) + f32(0.5)) * scale_l
+    py = (child[:, 1].astype(f32) + f32(0.5)) * scale_l
+    pz = (child[:, 2].astype(f32) + f32(0.5)) * scale_l
+    f = jnp.asarray(scene(px, py, pz, xp=jnp), f32)
+    L = lipschitz
+    r = _SQRT3 * half
+    keep = (f <= L * r + 1e-6) & (f >= -(L * (r + 2.0 * finest)) - 1e-6) & v8
+    return child, keep, f
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _compact(child, keep, f, cap):
+    """Pack kept children (+ parent index, slot, f) into a cap-sized bucket.
+    Returns coords (cap,3), par (cap,) int32 (-1 padding), slot, f."""
+    idx = jnp.flatnonzero(keep, size=cap, fill_value=-1)
+    ok = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    coords = jnp.where(ok[:, None], jnp.take(child, safe, axis=0), -1)
+    par = jnp.where(ok, (safe >> 3).astype(jnp.int32), -1)
+    slot = jnp.where(ok, (safe & 7).astype(jnp.int32), 0)
+    fv = jnp.where(ok, jnp.take(f, safe), jnp.float32(0))
+    return coords, par, slot, fv
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_merged(cc, par, slot, fv, cap):
+    """Re-compact concatenated per-chunk buckets (padding rows par=-1)."""
+    idx = jnp.flatnonzero(par >= 0, size=cap, fill_value=-1)
+    ok = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    return (jnp.where(ok[:, None], jnp.take(cc, safe, axis=0), -1),
+            jnp.where(ok, jnp.take(par, safe), -1),
+            jnp.where(ok, jnp.take(slot, safe), 0),
+            jnp.where(ok, jnp.take(fv, safe), jnp.float32(0)))
+
+
+# Parents per expansion chunk: bounds the 8x child blowup's working set so
+# depth-12 frontiers (hundreds of millions of candidates) fit in HBM.
+CHUNK_PARENTS = 1 << 22
+
+
+def _expand_level(coords_prev, valid_prev, scene, l, depth, L):
+    """Expand + prune one level, chunking the parent set when large.
+    Returns (coords, par, slot, f, n_valid) in a power-of-two bucket."""
+    prev_cap = coords_prev.shape[0]
+    if prev_cap <= CHUNK_PARENTS:
+        child, keep, f = _expand_eval(coords_prev, valid_prev, scene=scene,
+                                      level=l, depth=depth, lipschitz=L)
+        n = int(jnp.sum(keep))
+        cc, par, slot, fv = _compact(child, keep, f, _bucket(max(n, 1)))
+        return cc, par, slot, fv, n
+    g = prev_cap // CHUNK_PARENTS
+    parts = []
+    n_total = 0
+    for c in range(g):
+        sl = slice(c * CHUNK_PARENTS, (c + 1) * CHUNK_PARENTS)
+        child, keep, f = _expand_eval(coords_prev[sl], valid_prev[sl],
+                                      scene=scene, level=l, depth=depth,
+                                      lipschitz=L)
+        nc = int(jnp.sum(keep))
+        n_total += nc
+        cc, par, slot, fv = _compact(child, keep, f, _bucket(max(nc, 1)))
+        par = jnp.where(par >= 0, par + c * CHUNK_PARENTS, -1)
+        parts.append((cc, par, slot, fv))
+    cc = jnp.concatenate([p[0] for p in parts])
+    par = jnp.concatenate([p[1] for p in parts])
+    slot = jnp.concatenate([p[2] for p in parts])
+    fv = jnp.concatenate([p[3] for p in parts])
+    cap = _bucket(max(n_total, 1))
+    cc, par, slot, fv = _compact_merged(cc, par, slot, fv, cap)
+    return cc, par, slot, fv, n_total
+
+
+@partial(jax.jit, static_argnames=("scene", "depth"))
+def _leaf_test(coords, par, f0, *, scene, depth):
+    """Exact leaf predicate at the finest level: solid center AND at least
+    one of the 6 axis neighbors (one voxel away) is air."""
+    f32 = jnp.float32
+    fin = f32(2.0 ** -depth)
+    px = (coords[:, 0].astype(f32) + f32(0.5)) * fin
+    py = (coords[:, 1].astype(f32) + f32(0.5)) * fin
+    pz = (coords[:, 2].astype(f32) + f32(0.5)) * fin
+    solid = (f0 <= 0.0) & (par >= 0)
+    air = jnp.zeros_like(solid)
+    for ax in range(3):
+        for sgn in (fin, -fin):
+            q = [px, py, pz]
+            q[ax] = q[ax] + sgn
+            air = air | (jnp.asarray(scene(q[0], q[1], q[2], xp=jnp),
+                                     f32) > 0.0)
+    return solid & air
+
+
+@partial(jax.jit, static_argnames=("n_parents",))
+def _level_up(par, slot, survive_child, n_parents):
+    """OR child-survival bits into each parent's valid mask (segment sum —
+    each (parent, slot) bit appears at most once, so sum == or)."""
+    sid = jnp.where(survive_child, par, n_parents)
+    bits = jnp.where(survive_child, jnp.int32(1) << slot, 0)
+    vm = jax.ops.segment_sum(bits, sid,
+                             num_segments=n_parents + 1)[:n_parents]
+    return vm
+
+
+@partial(jax.jit, static_argnames=("n_parents",))
+def _first_child(par, child_vals, active, n_parents):
+    """Per-parent first (minimum) child value over active children; 0 where
+    a parent has none (matches the host builder's zeros)."""
+    sid = jnp.where(active, par, n_parents)
+    big = jnp.int32(2**31 - 1)
+    fb = jax.ops.segment_min(jnp.where(active, child_vals, big), sid,
+                             num_segments=n_parents + 1)[:n_parents]
+    return jnp.where(fb == big, 0, fb)
+
+
+def build_svo_device(scene, depth: int) -> SVO:
+    """Build a packed SVO on the device. Bit-identical structure and
+    attributes to build_svo(scene, depth) (tested); arrays stay on device.
+
+    Per level, only one scalar (the surviving-candidate count) crosses the
+    host link. Scene evals happen on the accelerator.
+    """
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    L = float(scene.lipschitz)
+    i32 = jnp.int32
+
+    # ---- Phase A: downward frontier sweep (device) ----------------------
+    coords = [jnp.zeros((1, 3), i32)]
+    pars = [jnp.zeros((1,), i32)]
+    slots = [jnp.zeros((1,), i32)]
+    valid_n = [1]
+    f_fin = None
+    for l in range(1, depth + 1):
+        valid_prev = (pars[l - 1] >= 0 if l > 1
+                      else jnp.ones((1,), bool))
+        cc, par, slot, fv, n = _expand_level(coords[l - 1], valid_prev,
+                                             scene, l, depth, L)
+        coords.append(cc)
+        pars.append(par)
+        slots.append(slot)
+        valid_n.append(n)
+        if l == depth:
+            f_fin = fv
+
+    # ---- Phase B: leaf test (chunked at large frontiers) ----------------
+    survive = [None] * (depth + 1)
+    fin_cap = coords[depth].shape[0]
+    chunk_b = CHUNK_PARENTS * 2
+    if fin_cap <= chunk_b:
+        survive[depth] = _leaf_test(coords[depth], pars[depth], f_fin,
+                                    scene=scene, depth=depth)
+    else:
+        parts = [
+            _leaf_test(coords[depth][c:c + chunk_b],
+                       pars[depth][c:c + chunk_b],
+                       f_fin[c:c + chunk_b], scene=scene, depth=depth)
+            for c in range(0, fin_cap, chunk_b)
+        ]
+        survive[depth] = jnp.concatenate(parts)
+
+    # ---- Phase C: upward pruning + assembly -----------------------------
+    valid_masks = [None] * depth
+    for l in range(depth - 1, -1, -1):
+        n_par = coords[l].shape[0]
+        vm = _level_up(pars[l + 1], slots[l + 1], survive[l + 1], n_par)
+        valid_masks[l] = vm
+        sv = vm != 0
+        if l == 0:
+            sv = sv | (jnp.arange(n_par) == 0)  # root always survives
+        survive[l] = sv
+
+    level_counts = [int(jnp.sum(survive[l])) for l in range(depth)]
+    n_leaves = int(jnp.sum(survive[depth]))
+    level_start = np.zeros(depth + 1, np.int64)
+    np.cumsum(level_counts, out=level_start[1:])
+    n_nodes = int(level_start[-1])
+
+    new_idx = [jnp.cumsum(survive[l].astype(i32)) - 1 for l in range(depth)]
+    leaf_idx = jnp.cumsum(survive[depth].astype(i32)) - 1
+
+    masks_parts = []
+    child_parts = []
+    leaf_parts = []
+    for l in range(depth):
+        s = survive[l]
+        cnt = level_counts[l]
+        rows = jnp.flatnonzero(s, size=max(cnt, 1), fill_value=0)
+        vm = jnp.take(valid_masks[l], rows)
+        if l == depth - 1:
+            m = (vm << 8) | vm
+            fb = _first_child(pars[depth], leaf_idx, survive[depth],
+                              coords[l].shape[0])
+            cb = jnp.zeros_like(vm)
+            lb = jnp.take(fb, rows)
+        else:
+            m = vm << 8
+            fb = _first_child(
+                pars[l + 1],
+                jnp.int32(level_start[l + 1]) + new_idx[l + 1],
+                survive[l + 1], coords[l].shape[0])
+            cb = jnp.take(fb, rows)
+            lb = jnp.zeros_like(vm)
+        if cnt == 0:
+            m, cb, lb = m[:0], cb[:0], lb[:0]
+        masks_parts.append(m)
+        child_parts.append(cb)
+        leaf_parts.append(lb)
+    masks = jnp.concatenate(masks_parts)
+    child_base = jnp.concatenate(child_parts)
+    leaf_base = jnp.concatenate(leaf_parts)
+
+    # ---- Phase D: leaf attributes ---------------------------------------
+    lrows = jnp.flatnonzero(survive[depth], size=max(n_leaves, 1),
+                            fill_value=0)
+    lcc = jnp.take(coords[depth], lrows, axis=0)
+    albedo, normal = _leaf_attrs(lcc, scene=scene, depth=depth)
+    if n_leaves == 0:
+        albedo, normal = albedo[:0], normal[:0]
+    density = jnp.ones(n_leaves, jnp.float32)
+
+    pptr = derive_parent_ptr_device(masks, child_base)
+    return SVO(
+        masks=masks, child_base=child_base, leaf_base=leaf_base,
+        leaf_albedo=albedo, leaf_normal=normal, leaf_density=density,
+        depth=depth, level_start=tuple(int(v) for v in level_start),
+        parent_ptr=pptr,
+    )
+
+
+@partial(jax.jit, static_argnames=("scene", "depth"))
+def _leaf_attrs(lcc, *, scene, depth):
+    f32 = jnp.float32
+    fin = f32(2.0 ** -depth)
+    px = (lcc[:, 0].astype(f32) + f32(0.5)) * fin
+    py = (lcc[:, 1].astype(f32) + f32(0.5)) * fin
+    pz = (lcc[:, 2].astype(f32) + f32(0.5)) * fin
+    albedo = default_albedo(px, py, pz, xp=jnp).astype(f32)
+    h = 1e-3
+    fx = scene(px + h, py, pz, xp=jnp) - scene(px - h, py, pz, xp=jnp)
+    fy = scene(px, py + h, pz, xp=jnp) - scene(px, py - h, pz, xp=jnp)
+    fz = scene(px, py, pz + h, xp=jnp) - scene(px, py, pz - h, xp=jnp)
+    nv = jnp.stack([fx, fy, fz], axis=-1)
+    norm = jnp.sqrt(jnp.sum(nv * nv, axis=-1, keepdims=True))
+    normal = (nv / jnp.maximum(norm, 1e-12)).astype(f32)
+    return albedo, normal
+
+
+@jax.jit
+def derive_parent_ptr_device(masks, child_base):
+    """Device twin of octree.compute_parent_ptr (scatter + running max)."""
+    n = masks.shape[0]
+    vm = (masks >> 8) & 0xFF
+    lm = masks & 0xFF
+    has = ((vm & ~lm) & 0xFF) != 0
+    tgt = jnp.where(has, child_base, n)
+    seed = jnp.zeros(n + 1, jnp.int32).at[tgt].max(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:n]
+    return jax.lax.associative_scan(jnp.maximum, seed)

@@ -184,3 +184,44 @@ def render_progressive(svo, camera: Camera, n_samples: int = 8,
         img = np.asarray(img)
         acc = img if acc is None else acc + (img - acc) / (s + 1)
     return acc
+
+
+def render_attachment(svo, word_a, word_b, origin, direction,
+                      light: Light = Light(), skybox=None):
+    """Shade hits from the COMPRESSED 64-bit node attachments — the
+    reference's production shading path (NVIDIASVO.compute:176-186 decodes
+    albedo via decodeDXTColor(blockA, blockB, hit_idx) and the normal from
+    attachment word B's high 16 bits, AttachmentLookup.compute:9-61). The
+    fp leaf arrays are not touched: albedo = the hit child's 2-bit palette
+    entry of its parent's R5G6B5 endpoint pair; normal = the parent's
+    cube-face normal16. Returns (N, 3) radiance.
+
+    word_a/word_b: per-node attachment words from codecs.build_attachments.
+    """
+    import jax.numpy as jnp
+    from raytracingtest_tpu.ops import codecs
+
+    o = jnp.asarray(origin, jnp.float32)
+    d = jnp.asarray(direction, jnp.float32)
+    res = traverse.trace_jax(svo, o, d)
+    hit = res.hit_leaf >= 0
+    parent = jnp.where(hit, res.hit_parent, 0)
+    wa = jnp.take(jnp.asarray(word_a, jnp.uint32), parent)
+    wb = jnp.take(jnp.asarray(word_b, jnp.uint32), parent)
+    ca = wa & jnp.uint32(0xFFFF)
+    cb = wa >> jnp.uint32(16)
+    choices = wb & jnp.uint32(0xFFFF)
+    n16 = wb >> jnp.uint32(16)
+    alb = codecs.decode_child_palette(ca, cb, choices, res.hit_child,
+                                      xp=jnp)
+    nrm = codecs.unpack_normal16(n16, xp=jnp)
+
+    ldir = jnp.asarray(light.direction, jnp.float32)
+    ldir = ldir / jnp.sqrt(jnp.sum(ldir * ldir))
+    ndotl = jnp.maximum(jnp.sum(nrm * (-ldir)[None, :], axis=-1), 0.0)
+    lit = alb * (ndotl * light.intensity + light.ambient)[:, None]
+    if skybox is not None:
+        sky = sky_texture(d, jnp.asarray(skybox, jnp.float32), jnp)
+    else:
+        sky = sky_color(d, jnp)
+    return jnp.where(hit[:, None], lit, sky)

@@ -101,15 +101,24 @@ def noise3(x, y, z, xp=np, seed=0):
     v = _fade(fy)
     w = _fade(fz)
 
-    grad = xp.asarray(_GRAD)
-
     def corner(cx, cy, cz):
         h = _hash3(ix + cx, iy + cy, iz + cz, seed, xp)
         gi = (h % xp.uint32(12)).astype(xp.int32)
-        g = xp.take(grad, gi, axis=0)
-        return (
-            g[..., 0] * (fx - cx) + g[..., 1] * (fy - cy) + g[..., 2] * (fz - cz)
-        )
+        # branch-free gradient decode (values identical to the _GRAD rows,
+        # so results are bit-identical to a table lookup): a per-lane
+        # xp.take here is a random gather — the single most expensive
+        # primitive on the TPU (~7 ns/row, PROFILE.md) — and made
+        # device-side scene evaluation gather-bound
+        one = xp.float32(1.0)
+        s1 = one - xp.float32(2.0) * (gi & 1).astype(xp.float32)
+        s2 = one - xp.float32(2.0) * ((gi >> 1) & 1).astype(xp.float32)
+        lt4 = gi < 4
+        lt8 = gi < 8
+        zero = xp.float32(0.0)
+        gx = xp.where(lt8, s1, zero)
+        gy = xp.where(lt4, s2, xp.where(lt8, zero, s1))
+        gz = xp.where(lt4, zero, s2)
+        return gx * (fx - cx) + gy * (fy - cy) + gz * (fz - cz)
 
     # trilinear blend of the 8 corner gradients with faded weights
     n000 = corner(0, 0, 0)

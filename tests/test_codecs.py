@@ -163,3 +163,55 @@ def test_esvo_pack_bit_layout(sphere5):
     lm = masks & 0xFF
     np.testing.assert_array_equal((packed >> 8) & 0xFF, vm)
     np.testing.assert_array_equal(packed & 0xFF, vm & ~lm)
+
+
+def test_attachment_render_matches_decoded_fp_shading():
+    """The attachment-shaded render (render.render_attachment, the
+    AttachmentLookup.compute analog) equals fp shading on the QUANTIZED
+    attributes: per-leaf decoded palette color + parent's decoded normal16
+    fed through the ordinary fp shade path."""
+    import raytracingtest_tpu as rt
+    from raytracingtest_tpu import render as render_mod
+    from raytracingtest_tpu.ops import codecs, traverse
+    from raytracingtest_tpu.ops.camera import Camera
+    import jax.numpy as jnp
+
+    res = rt.build_svo(rt.get_scene("terrain"), 6)
+    svo = res.svo.device()
+    wa, wb = codecs.build_attachments(res.svo)
+
+    # host-side per-leaf decoded attribute tables
+    masks = np.asarray(res.svo.masks)
+    child_base = np.asarray(res.svo.child_base)
+    leaf_base = np.asarray(res.svo.leaf_base)
+    n_leaves = res.svo.n_leaves
+    dec_alb = np.zeros((n_leaves, 3), np.float32)
+    dec_nrm = np.zeros((n_leaves, 3), np.float32)
+    depth = res.svo.depth
+    lo, hi = res.svo.level_start[depth - 1], res.svo.level_start[depth]
+    for row in range(lo, hi):
+        m = masks[row]
+        vm, lm = (m >> 8) & 0xFF, m & 0xFF
+        for slot in range(8):
+            if (vm >> slot) & (lm >> slot) & 1:
+                rank = bin(vm & lm & ((1 << slot) - 1)).count("1")
+                leaf = leaf_base[row] + rank
+                ca = np.uint32(wa[row] & 0xFFFF)
+                cb = np.uint32(wa[row] >> 16)
+                ch = np.uint32(wb[row] & 0xFFFF)
+                dec_alb[leaf] = codecs.decode_child_palette(
+                    ca, cb, ch, np.uint32(slot), xp=np)
+                dec_nrm[leaf] = codecs.unpack_normal16(
+                    np.uint32(wb[row] >> 16), xp=np)
+
+    cam = Camera(position=(0.5, 0.85, -0.6), look_at=(0.5, 0.4, 0.5),
+                 fov_y_deg=50.0, width=64, height=64)
+    o, d = cam.rays(np)
+    img_att = np.asarray(render_mod.render_attachment(
+        svo, wa, wb, o, d))
+    tr = traverse.trace_jax(svo, jnp.asarray(o), jnp.asarray(d))
+    img_fp = np.asarray(render_mod.shade(
+        tr, jnp.asarray(d), jnp.asarray(dec_alb), jnp.asarray(dec_nrm),
+        render_mod.Light(), jnp))
+    assert (np.asarray(tr.hit_leaf) >= 0).sum() > 500
+    np.testing.assert_allclose(img_att, img_fp, atol=1e-5)
