@@ -204,12 +204,17 @@ def build_svo_device(scene, depth: int) -> SVO:
                       else jnp.ones((1,), bool))
         cc, par, slot, fv, n = _expand_level(coords[l - 1], valid_prev,
                                              scene, l, depth, L)
+        del valid_prev
         coords.append(cc)
         pars.append(par)
         slots.append(slot)
         valid_n.append(n)
         if l == depth:
             f_fin = fv
+        if l >= 2:
+            # phase C needs only par/slot per level; freeing parent coords
+            # halves peak HBM on deep builds
+            coords[l - 1] = None
 
     # ---- Phase B: leaf test (chunked at large frontiers) ----------------
     survive = [None] * (depth + 1)
@@ -230,7 +235,7 @@ def build_svo_device(scene, depth: int) -> SVO:
     # ---- Phase C: upward pruning + assembly -----------------------------
     valid_masks = [None] * depth
     for l in range(depth - 1, -1, -1):
-        n_par = coords[l].shape[0]
+        n_par = pars[l].shape[0]
         vm = _level_up(pars[l + 1], slots[l + 1], survive[l + 1], n_par)
         valid_masks[l] = vm
         sv = vm != 0
@@ -258,7 +263,7 @@ def build_svo_device(scene, depth: int) -> SVO:
         if l == depth - 1:
             m = (vm << 8) | vm
             fb = _first_child(pars[depth], leaf_idx, survive[depth],
-                              coords[l].shape[0])
+                              pars[l].shape[0])
             cb = jnp.zeros_like(vm)
             lb = jnp.take(fb, rows)
         else:
@@ -266,7 +271,7 @@ def build_svo_device(scene, depth: int) -> SVO:
             fb = _first_child(
                 pars[l + 1],
                 jnp.int32(level_start[l + 1]) + new_idx[l + 1],
-                survive[l + 1], coords[l].shape[0])
+                survive[l + 1], pars[l].shape[0])
             cb = jnp.take(fb, rows)
             lb = jnp.zeros_like(vm)
         if cnt == 0:

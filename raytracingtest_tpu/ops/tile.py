@@ -499,9 +499,9 @@ def _walk_chunk(st, codes, ids, t_codes, bricks, depth, top_depth, k_max,
 
 @partial(jax.jit,
          static_argnames=("depth", "top_depth", "caps", "k_max",
-                          "chunk_tiles"))
+                          "chunk_tiles", "dda_unroll"))
 def _trace_tile(pyr, cellmap, bricks, o, d, corners, apex, depth, top_depth,
-                caps, k_max, chunk_tiles):
+                caps, k_max, chunk_tiles, dda_unroll=6):
     T, P = o.shape[0], o.shape[1]
     n = T * P
     if not (chunk_tiles and T % chunk_tiles == 0 and T > chunk_tiles):
@@ -525,7 +525,8 @@ def _trace_tile(pyr, cellmap, bricks, o, d, corners, apex, depth, top_depth,
 
     res = jax.lax.map(
         lambda args: _walk_tiles_chunk(bricks, *args, depth=depth,
-                                       top_depth=top_depth, k_max=k_max),
+                                       top_depth=top_depth, k_max=k_max,
+                                       dda_unroll=dda_unroll),
         tuple(x.reshape((g, chunk_tiles) + x.shape[1:]) for x in
               (perm(o), perm(d), perm(codes), perm(ids), perm(t_codes),
                perm(drop_t))))
@@ -538,7 +539,7 @@ def _trace_tile(pyr, cellmap, bricks, o, d, corners, apex, depth, top_depth,
 
 
 def _walk_tiles_chunk(bricks, o, d, codes, ids, t_codes, drop_t, *, depth,
-                      top_depth, k_max):
+                      top_depth, k_max, dda_unroll=6):
     Tc, P = o.shape[0], o.shape[1]
     n = Tc * P
     st0 = init_state(o.reshape(n, 3), d.reshape(n, 3), top_depth, jnp)
@@ -550,7 +551,8 @@ def _walk_tiles_chunk(bricks, o, d, codes, ids, t_codes, drop_t, *, depth,
         miss0=st0.done.reshape(Tc, P),   # never entered the root cube
     )
     hit_leaf, hit_t, iters = _walk_chunk(
-        st, codes, ids, t_codes, bricks, depth, top_depth, k_max)
+        st, codes, ids, t_codes, bricks, depth, top_depth, k_max,
+        dda_unroll=dda_unroll)
 
     # the walk visits every candidate that could matter; the only loss
     # channel left is per-level cap dropping, bounded by drop_t per tile
@@ -570,7 +572,7 @@ def _default_caps(top_depth, k_max):
 
 
 def trace_tile(tsvo: TileSVO, o, d, corners, k_max=48, caps=None,
-               chunk_tiles=256):
+               chunk_tiles=256, dda_unroll=6):
     """Tile-amortized trace. o/d: (T, P, 3) tile-major rays (tile_rays),
     corners: (T, 4, 3). Returns (TraceResult (T*P,), unresolved (T*P,)).
     Resolved rays' hit_leaf / hit_t are bit-identical to trace_jax; the
@@ -584,7 +586,7 @@ def trace_tile(tsvo: TileSVO, o, d, corners, k_max=48, caps=None,
         jnp.asarray(tsvo.pyr), jnp.asarray(tsvo.cellmap),
         jnp.asarray(tsvo.bsvo.bricks), o, d,
         jnp.asarray(corners, jnp.float32), apex,
-        tsvo.depth, tsvo.top_depth, caps, k_max, chunk_tiles)
+        tsvo.depth, tsvo.top_depth, caps, k_max, chunk_tiles, dda_unroll)
 
 
 @partial(jax.jit,

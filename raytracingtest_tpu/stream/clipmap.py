@@ -336,6 +336,21 @@ def _dev_update_1d(buf, upd, off):
     return jax.lax.dynamic_update_slice(buf, upd, (off,))
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+def _dev_apply_spans(masks, child_base, leaf_base, albedo, normal, density,
+                     u_masks, u_child, u_leafb, u_alb, u_nrm, u_den,
+                     n_off, l_off):
+    """One program per sync: all six arena buffers updated in place."""
+    return (
+        jax.lax.dynamic_update_slice(masks, u_masks, (n_off,)),
+        jax.lax.dynamic_update_slice(child_base, u_child, (n_off,)),
+        jax.lax.dynamic_update_slice(leaf_base, u_leafb, (n_off,)),
+        jax.lax.dynamic_update_slice(albedo, u_alb, (l_off, jnp.int32(0))),
+        jax.lax.dynamic_update_slice(normal, u_nrm, (l_off, jnp.int32(0))),
+        jax.lax.dynamic_update_slice(density, u_den, (l_off,)),
+    )
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _dev_update_2d(buf, upd, off):
     return jax.lax.dynamic_update_slice(buf, upd, (off, 0))
@@ -362,30 +377,49 @@ class DeviceArena:
 
     def sync(self) -> int:
         """Upload dirty spans (host arena -> device buffers). Returns the
-        number of spans applied."""
+        number of spans applied.
+
+        All spans coalesce into one node range + one leaf range (arena
+        allocation is append-like, so the union is tight), padded to a
+        power-of-two length (re-uploading a few unchanged rows is free next
+        to a dispatch), and applied by ONE donated program — each dispatch
+        on this backend costs ~25 ms, so the previous 6-programs-per-span
+        scheme paid 6N round-trips per streaming step (VERDICT r02 weak 6).
+        """
         spans = self.arena.dirty
         n = len(spans)
-        for node_off, n_nodes, leaf_off, n_leaves in spans:
-            ns = slice(node_off, node_off + n_nodes)
-            off = jnp.int32(node_off)
-            self.masks = _dev_update_1d(
-                self.masks, jnp.asarray(self.arena.masks[ns]), off)
-            self.child_base = _dev_update_1d(
-                self.child_base, jnp.asarray(self.arena.child_base[ns]), off)
-            self.leaf_base = _dev_update_1d(
-                self.leaf_base, jnp.asarray(self.arena.leaf_base[ns]), off)
-            if n_leaves:
-                ls = slice(leaf_off, leaf_off + n_leaves)
-                loff = jnp.int32(leaf_off)
-                self.leaf_albedo = _dev_update_2d(
-                    self.leaf_albedo, jnp.asarray(self.arena.leaf_albedo[ls]),
-                    loff)
-                self.leaf_normal = _dev_update_2d(
-                    self.leaf_normal, jnp.asarray(self.arena.leaf_normal[ls]),
-                    loff)
-                self.leaf_density = _dev_update_1d(
-                    self.leaf_density,
-                    jnp.asarray(self.arena.leaf_density[ls]), loff)
+        if n == 0:
+            return 0
+        n0 = min(s[0] for s in spans)
+        n1 = max(s[0] + s[1] for s in spans)
+        leaf_spans = [s for s in spans if s[3]]
+        l0 = min((s[2] for s in leaf_spans), default=0)
+        l1 = max((s[2] + s[3] for s in leaf_spans), default=0)
+
+        def _pad(lo, hi, cap):
+            ln = 1
+            while ln < hi - lo:
+                ln <<= 1
+            if ln >= cap:
+                return 0, cap
+            return (lo if lo + ln <= cap else cap - ln), ln
+
+        cap_n = self.masks.shape[0]
+        n0, ln = _pad(n0, max(n1, n0 + 1), cap_n)
+        cap_l = self.leaf_density.shape[0]
+        l0, ll = _pad(l0, max(l1, l0 + 1), cap_l)
+        a = self.arena
+        (self.masks, self.child_base, self.leaf_base, self.leaf_albedo,
+         self.leaf_normal, self.leaf_density) = _dev_apply_spans(
+            self.masks, self.child_base, self.leaf_base, self.leaf_albedo,
+            self.leaf_normal, self.leaf_density,
+            jnp.asarray(a.masks[n0:n0 + ln]),
+            jnp.asarray(a.child_base[n0:n0 + ln]),
+            jnp.asarray(a.leaf_base[n0:n0 + ln]),
+            jnp.asarray(a.leaf_albedo[l0:l0 + ll]),
+            jnp.asarray(a.leaf_normal[l0:l0 + ll]),
+            jnp.asarray(a.leaf_density[l0:l0 + ll]),
+            jnp.int32(n0), jnp.int32(l0))
         spans.clear()
         return n
 
