@@ -141,3 +141,31 @@ def make_train_step_brick(mesh, depth, top_depth, optimizer):
         return params, opt_state, loss
 
     return train_step
+
+
+def render_tile_sharded(mesh, albedo, normal, density, tsvo, o, d, corners,
+                        light_dir, k_max=96, chunk_tiles=256,
+                        fb_width=8192):
+    """Forward render on the PRODUCTION tile path with tiles sharded over
+    the mesh (the data/sequence-parallel axis of this workload at tile
+    granularity — each device walks its own tiles' frustums; no cross-
+    device communication in the forward pass). Returns ((T*P, 3) radiance,
+    per-device residual counts)."""
+    from raytracingtest_tpu import diff as diff_mod
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS),
+                  P(RAY_AXIS), P()),
+        out_specs=(P(RAY_AXIS), P(RAY_AXIS)),
+        check_vma=False,
+    )
+    def _render(albedo, normal, density, tsvo, o_s, d_s, corners_s,
+                light_dir):
+        img, residual = diff_mod.render_diff_tile(
+            albedo, normal, density, tsvo, o_s, d_s, corners_s, light_dir,
+            k_max=k_max, chunk_tiles=chunk_tiles, fb_width=fb_width)
+        return img, residual.reshape(1)
+
+    return jax.jit(_render)(albedo, normal, density, tsvo, o, d, corners,
+                            light_dir)

@@ -151,3 +151,34 @@ def test_brick_train_step_matches_plain():
     for k in params:
         np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p2[k]),
                                    rtol=0, atol=0)
+
+
+def test_tile_sharded_render_matches_single():
+    """The tile hot path sharded over the 8-device mesh (tiles = the
+    data-parallel axis) equals the single-device tile render exactly."""
+    import raytracingtest_tpu as rt
+    from raytracingtest_tpu.ops import tile as tile_mod
+    from raytracingtest_tpu.parallel.render_sharded import render_tile_sharded
+    from raytracingtest_tpu.ops.camera import Camera
+
+    res = rt.build_svo(rt.get_scene("terrain"), 6)
+    svo = res.svo
+    tsvo = tile_mod.make_tile_svo(svo).device()
+    cam = Camera(position=(0.5, 0.85, -0.6), look_at=(0.5, 0.4, 0.5),
+                 fov_y_deg=50.0, width=128, height=128)
+    o, d, corners, grid = tile_mod.tile_rays(cam, np, tile_px=16)
+    albedo = jnp.asarray(svo.leaf_albedo)
+    normal = jnp.asarray(svo.leaf_normal)
+    density = jnp.asarray(svo.leaf_density)
+    light = jnp.asarray([-0.5, -1.0, -0.3], jnp.float32)
+
+    img1, res1 = diff.render_diff_tile(
+        albedo, normal, density, tsvo, jnp.asarray(o), jnp.asarray(d),
+        jnp.asarray(corners), light, chunk_tiles=8, fb_width=4096)
+    mesh = make_mesh()
+    img8, res8 = render_tile_sharded(
+        mesh, albedo, normal, density, tsvo, jnp.asarray(o),
+        jnp.asarray(d), jnp.asarray(corners), light, chunk_tiles=8,
+        fb_width=4096)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img8),
+                               rtol=0, atol=1e-6)
