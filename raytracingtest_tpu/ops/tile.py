@@ -19,11 +19,12 @@ big multiplier left is AMORTIZING structure access across coherent rays:
   * Candidate selection per level is a value-packed jnp.sort (quantized
     conservative-t | morton code in one int32) — compaction and front-to-
     back ordering in a single sort, no scatters.
-  * Per-ray work is dense VPU math on the (tiles, P) layout: ray-box entry
-    tests against tile-uniform candidates (broadcast, no gather), then an
-    exact 8^3-brick DDA (ops/brick.py semantics, bit-identical hits) on at
-    most M entered bricks per ray, with one 68B brick-row gather per
-    (ray, entered brick) — ~2-3 rows/ray total.
+  * Per-ray work is dense VPU math on the (tiles, P) layout: one fused
+    while_loop per chunk walks each tile's candidate list front-to-back
+    with per-tile cursors, running the exact 8^3-brick DDA (ops/brick.py
+    semantics, bit-identical hits) against tile-uniform brick words
+    (broadcast, no per-ray structure gathers); the hit's leaf rank is
+    resolved after the walk with one fat row gather per ray.
   * Every dropped candidate is accounted: per-tile and per-ray conservative
     lower bounds on the t of anything dropped produce an `unresolved` mask;
     trace_tile_exact() re-traces unresolved rays on the per-ray brick path.
@@ -48,7 +49,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from raytracingtest_tpu.ops.traverse import S_MAX, TraceResult, init_state, _f2i, _i2f
+from raytracingtest_tpu.ops.traverse import S_MAX, TraceResult, init_state, _f2i
 from raytracingtest_tpu.ops.brick import (
     BRICK_LEVELS, BrickSVO, make_brick_svo, _popcount32, _spread3, _sel16,
 )
@@ -279,9 +280,12 @@ def _candidates(pyr, cellmap, corners, apex, top_depth, caps, k_max):
         ahead = fd + fr >= 0
 
         keep = occ & in_frustum & ahead
-        # conservative entry-t lower bound: chebyshev distance to the box
-        # (per-ray entry t >= euclidean >= chebyshev distance, |d| = 1)
-        t_lb = jnp.maximum(jnp.max(jnp.abs(rel), axis=-1) - half, 0.0)
+        # conservative entry-t lower bound: euclidean distance from the
+        # apex to the box (per-ray entry t >= distance since |d| = 1);
+        # tighter than chebyshev, so fewer dropped-candidate false alarms
+        # in the unresolved accounting
+        ax = jnp.maximum(jnp.abs(rel) - half, 0.0)
+        t_lb = jnp.sqrt(jnp.sum(ax * ax, axis=-1))
 
         # pack (quantized t | morton code) and sort: compaction + ordering
         code_bits = 3 * l

@@ -169,3 +169,47 @@ def render_tile_sharded(mesh, albedo, normal, density, tsvo, o, d, corners,
 
     return jax.jit(_render)(albedo, normal, density, tsvo, o, d, corners,
                             light_dir)
+
+
+def make_train_step_tile(mesh, optimizer, k_max=96, chunk_tiles=256,
+                         fb_width=8192):
+    """Sharded train step on the tile hot path: tiles sharded over the
+    mesh, voxel-parameter grads psum'ed. Hits are bit-identical to the
+    plain/brick paths, so the whole optimization trajectory coincides
+    (tested). Rays must be tile-major (tile.tile_rays)."""
+    from raytracingtest_tpu import diff as diff_mod
+
+    def local_loss(params, tsvo, o_s, d_s, corners_s, light_dir, target_s,
+                   n_total):
+        img, _residual = diff_mod.render_diff_tile(
+            params["albedo"], params["normal"], params["density"], tsvo,
+            o_s, d_s, corners_s, light_dir, k_max=k_max,
+            chunk_tiles=chunk_tiles, fb_width=fb_width)
+        return jnp.sum((img - target_s) ** 2) / n_total
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(),
+                  P(RAY_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def _loss_grads(params, tsvo, o_s, d_s, corners_s, light_dir, target_s):
+        n_total = target_s.size * jax.lax.psum(1, RAY_AXIS)
+        loss, grads = jax.value_and_grad(local_loss)(
+            params, tsvo, o_s, d_s, corners_s, light_dir, target_s, n_total)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, RAY_AXIS), grads)
+        loss = jax.lax.psum(loss, RAY_AXIS)
+        return loss, grads
+
+    @jax.jit
+    def train_step(params, opt_state, tsvo, o, d, corners, light_dir,
+                   target):
+        loss, grads = _loss_grads(params, tsvo, o, d, corners, light_dir,
+                                  target)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step

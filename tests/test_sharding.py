@@ -182,3 +182,45 @@ def test_tile_sharded_render_matches_single():
         fb_width=4096)
     np.testing.assert_allclose(np.asarray(img1), np.asarray(img8),
                                rtol=0, atol=1e-6)
+
+
+def test_tile_train_step_matches_plain():
+    """The tile-path sharded train step produces the same loss and updated
+    params as the plain-path step on the same (tile-major) rays."""
+    import raytracingtest_tpu as rt
+    from raytracingtest_tpu.ops import tile as tile_mod
+    from raytracingtest_tpu.parallel.render_sharded import (
+        make_train_step, make_train_step_tile)
+    from raytracingtest_tpu.ops.camera import Camera
+
+    res = rt.build_svo(rt.get_scene("terrain"), 6)
+    svo = res.svo.device()
+    tsvo = tile_mod.make_tile_svo(res.svo).device()
+    cam = Camera(position=(0.5, 0.85, -0.6), look_at=(0.5, 0.4, 0.5),
+                 fov_y_deg=50.0, width=64, height=64)
+    o, d, corners, grid = tile_mod.tile_rays(cam, np, tile_px=16)
+    light = jnp.asarray([-0.5, -1.0, -0.3], jnp.float32)
+    n = o.shape[0] * o.shape[1]
+    target = jnp.zeros((n, 3), jnp.float32)
+    params = {
+        "albedo": jnp.asarray(res.svo.leaf_albedo),
+        "normal": jnp.asarray(res.svo.leaf_normal),
+        "density": jnp.asarray(res.svo.leaf_density),
+    }
+    mesh = make_mesh()
+    opt = optax.adam(1e-2)
+    st = opt.init(params)
+
+    step_plain = make_train_step(mesh, svo.depth, opt)
+    p1, _, l1 = step_plain(params, st, svo.masks, svo.child_base,
+                           svo.leaf_base, jnp.asarray(o.reshape(-1, 3)),
+                           jnp.asarray(d.reshape(-1, 3)), light, target)
+
+    step_tile = make_train_step_tile(mesh, opt, chunk_tiles=2,
+                                     fb_width=4096)
+    p2, _, l2 = step_tile(params, st, tsvo, jnp.asarray(o), jnp.asarray(d),
+                          jnp.asarray(corners), light, target)
+    assert abs(float(l1) - float(l2)) < 1e-6
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p2[k]),
+                                   atol=1e-6)
