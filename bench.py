@@ -17,6 +17,10 @@ import time
 
 import numpy as np
 
+# persistent XLA compilation cache: remote compiles on this backend cost
+# 10s-of-seconds per shape; caching them makes repeated bench runs warm
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 
 def main():
     import jax

@@ -181,7 +181,7 @@ def _first_child(par, child_vals, active, n_parents):
     return jnp.where(fb == big, 0, fb)
 
 
-def build_svo_device(scene, depth: int) -> SVO:
+def build_svo_device(scene, depth: int, verbose: bool = False) -> SVO:
     """Build a packed SVO on the device. Bit-identical structure and
     attributes to build_svo(scene, depth) (tested); arrays stay on device.
 
@@ -199,12 +199,17 @@ def build_svo_device(scene, depth: int) -> SVO:
     slots = [jnp.zeros((1,), i32)]
     valid_n = [1]
     f_fin = None
+    import time as _time
     for l in range(1, depth + 1):
+        t0 = _time.time()
         valid_prev = (pars[l - 1] >= 0 if l > 1
                       else jnp.ones((1,), bool))
         cc, par, slot, fv, n = _expand_level(coords[l - 1], valid_prev,
                                              scene, l, depth, L)
         del valid_prev
+        if verbose:
+            print(f"# build level {l}: {n} candidates "
+                  f"({_time.time() - t0:.1f}s)", flush=True)
         coords.append(cc)
         pars.append(par)
         slots.append(slot)

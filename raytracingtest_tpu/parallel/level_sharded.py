@@ -168,7 +168,22 @@ def split_svo(result_or_svo, split_level: int, n_devices: int,
     it be derived) for octant origins."""
     svo = getattr(result_or_svo, "svo", result_or_svo)
     if node_coords_level is None:
-        node_coords_level = getattr(result_or_svo, "node_coords")[split_level]
+        nc = getattr(result_or_svo, "node_coords", None)
+        if nc is not None:
+            node_coords_level = nc[split_level]
+        else:
+            # derive split-level octant coords by expanding from the root
+            # (device-built SVOs carry no build debris)
+            from raytracingtest_tpu.ops.brick import _expand_children
+            m = np.asarray(svo.masks)
+            cb = np.asarray(svo.child_base)
+            rows = np.zeros(1, np.int64)
+            coords = np.zeros((1, 3), np.int64)
+            for _ in range(split_level):
+                rows, pidx, slots = _expand_children(m, cb, rows)
+                coords = coords[pidx] * 2 + np.stack(
+                    [slots & 1, (slots >> 1) & 1, (slots >> 2) & 1], axis=1)
+            node_coords_level = coords.astype(np.int32)
 
     masks = np.asarray(svo.masks)
     lo, hi = svo.level_start[split_level], svo.level_start[split_level + 1]
