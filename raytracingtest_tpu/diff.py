@@ -57,17 +57,18 @@ def _gather_fwd(albedo, normal, density, leaf_id):
 def _gather_bwd(res, cot):
     leaf_id, n_leaves = res
     g_alb, g_nrm, g_den = cot
-    # sort cotangents by leaf id -> contiguous segments -> one deterministic
-    # segment reduction (atomic-free scatter); packed so the permutation
-    # gather and the segment reduction each run once
-    order = jnp.argsort(leaf_id)
-    sorted_ids = jnp.take(leaf_id, order)
-    g_packed = jnp.concatenate([g_alb, g_nrm, g_den[:, None]], axis=1)
-    d_packed = jax.ops.segment_sum(
-        jnp.take(g_packed, order, axis=0), sorted_ids,
-        num_segments=n_leaves, indices_are_sorted=True,
-    )
-    return d_packed[:, 0:3], d_packed[:, 3:6], d_packed[:, 6], None
+    # seven RANK-1 scatter-adds: XLA:TPU lowers a scalar scatter ~10x
+    # faster per element than a (N,7)-row scatter (~9 vs ~90 ns/row,
+    # PROFILE.md), and scatter-add is deterministic on TPU (serialized,
+    # no atomics) — so per-column scatters beat the former sort +
+    # segment-sum pipeline by ~2x total
+    cols = (g_alb[:, 0], g_alb[:, 1], g_alb[:, 2],
+            g_nrm[:, 0], g_nrm[:, 1], g_nrm[:, 2], g_den)
+    outs = [jnp.zeros((n_leaves,), jnp.float32).at[leaf_id].add(c)
+            for c in cols]
+    d_alb = jnp.stack(outs[0:3], axis=1)
+    d_nrm = jnp.stack(outs[3:6], axis=1)
+    return d_alb, d_nrm, outs[6], None
 
 
 gather_voxel_params.defvjp(_gather_fwd, _gather_bwd)
