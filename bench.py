@@ -252,8 +252,9 @@ def _main_multihost(mh):
                              jnp.asarray(svo.leaf_density), svo.masks,
                              svo.child_base, svo.leaf_base, o, d, depth,
                              light + tag)
-        # fence on the process-local shard only (no full-image host copy)
-        return float(sum(jnp.sum(s.data) for s in img.addressable_shards))
+        # fence on the process-local shards only (no full-image host copy;
+        # per-shard float() conversions keep each reduction on its device)
+        return sum(float(jnp.sum(s.data)) for s in img.addressable_shards)
 
     zero = jnp.zeros(3, jnp.float32)
     run(zero)

@@ -116,3 +116,34 @@ def test_tile_rays_rejects_ortho_and_misaligned():
     cam2 = Camera(position=(0, 0, -2), look_at=(0, 0, 0), width=60, height=64)
     with pytest.raises(ValueError):
         tile.tile_rays(cam2, np)
+
+
+def test_tile_empty_scene_and_inside_camera():
+    """Edge cases through the tile path: an empty scene renders all-miss
+    without crashing; a camera inside the solid still matches the golden
+    path exactly."""
+    from raytracingtest_tpu.scenes import Scene
+
+    empty = Scene("empty", lambda x, y, z, xp: xp.ones_like(
+        xp.asarray(x, xp.float32)), 0.0)
+    res = rt.build_svo(empty, 4)
+    ts = tile.make_tile_svo(res.svo).device()
+    cam = Camera(position=(0.5, 0.85, -0.6), look_at=(0.5, 0.4, 0.5),
+                 fov_y_deg=50.0, width=32, height=32)
+    o, d, corners, _ = tile.tile_rays(cam, np)
+    r, un = tile.trace_tile(ts, o, d, corners)
+    assert (np.asarray(r.hit_leaf) == -1).all()
+    assert not np.asarray(un).any()
+
+    # camera buried inside the terrain solid
+    res2 = rt.build_svo(rt.get_scene("terrain"), 6)
+    svo2 = res2.svo.device()
+    ts2 = tile.make_tile_svo(res2.svo).device()
+    cam2 = Camera(position=(0.5, 0.05, 0.5), look_at=(0.5, 0.5, 0.5),
+                  fov_y_deg=60.0, width=32, height=32)
+    o2, d2, corners2, _ = tile.tile_rays(cam2, np)
+    r2 = tile.trace_tile_exact(ts2, o2, d2, corners2)
+    r0 = traverse.trace_jax(svo2, jnp.asarray(o2.reshape(-1, 3)),
+                            jnp.asarray(d2.reshape(-1, 3)))
+    np.testing.assert_array_equal(np.asarray(r0.hit_leaf),
+                                  np.asarray(r2.hit_leaf))
