@@ -57,6 +57,20 @@ def _brick_of(obj):
     return cache[1]
 
 
+def _tile_of(obj):
+    """Lazy cached tile decomposition (pyramid + bricks), keyed like
+    _brick_of; None when the tree is too shallow."""
+    from raytracingtest_tpu.ops import tile as tile_mod
+    cache = getattr(obj, "_tsvo_cache", None)
+    if cache is None or cache[0] != id(obj.svo):
+        bsvo = _brick_of(obj)
+        tsvo = (tile_mod.make_tile_svo(obj.svo, bsvo=None).device()
+                if bsvo is not None else None)
+        cache = (id(obj.svo), tsvo)
+        object.__setattr__(obj, "_tsvo_cache", cache)
+    return cache[1]
+
+
 @dataclasses.dataclass
 class SurfaceRenderer:
     svo: SVO
@@ -64,6 +78,29 @@ class SurfaceRenderer:
     def render(self, camera_cfg: CameraConfig, render_cfg: RenderConfig,
                jitter=None) -> np.ndarray:
         cam = _camera(camera_cfg)
+        # pinhole cameras with tile-aligned resolutions ride the tile-
+        # amortized hot path (exact: in-jit fallback + host-side residual
+        # retrace); everything else falls back to the per-ray brick path
+        if (cam.ortho_height <= 0.0 and camera_cfg.width % 16 == 0
+                and camera_cfg.height % 16 == 0):
+            tsvo = _tile_of(self)
+            if tsvo is not None:
+                from raytracingtest_tpu.ops import tile as tile_mod
+                o_t, d_t, corners, grid = tile_mod.tile_rays(
+                    cam, np, jitter=jitter)
+                light = jnp.asarray(render_cfg.light_direction, jnp.float32)
+                res = tile_mod.trace_tile_exact(
+                    tsvo, jnp.asarray(o_t), jnp.asarray(d_t),
+                    jnp.asarray(corners))
+                img = diff.shade_diff(
+                    jax.lax.stop_gradient(res.hit_leaf),
+                    jnp.asarray(d_t.reshape(-1, 3)),
+                    jnp.asarray(self.svo.leaf_albedo),
+                    jnp.asarray(self.svo.leaf_normal),
+                    jnp.asarray(self.svo.leaf_density), light,
+                    render_cfg.light_intensity, render_cfg.light_ambient)
+                img = tile_mod.untile_image(np.asarray(img), grid)
+                return img.reshape(camera_cfg.height, camera_cfg.width, 3)
         o, d = cam.rays(np, jitter=jitter)
         light = jnp.asarray(render_cfg.light_direction, jnp.float32)
         bsvo = _brick_of(self)
