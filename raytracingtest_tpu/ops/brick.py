@@ -377,7 +377,11 @@ def _brick_round(st, nodes_packed, bricks, depth, top_depth, n_max_top,
     t_min = st["t_min"]
     for l in range(1, BRICK_LEVELS + 1):
         half = f32(brick_exp2 * 2.0 ** (-l))
-        t_center = (bpos + half) * st["t_coef"] - st["t_bias"]
+        # half*coef + (pos*coef - bias), the same expression shape as the
+        # plain path's descent: on TPU, XLA's FMA fusion rounds
+        # (pos+half)*coef - bias differently at exact voxel-corner ties
+        t_center = half * st["t_coef"] + (bpos * st["t_coef"]
+                                          - st["t_bias"])
         upper = t_center > t_min[:, None]
         bpos = bpos + jnp.where(upper, half, f32(0.0))
 
@@ -626,7 +630,10 @@ def _trace_brick_multi_core(top_masks, top_child, top_parent, bricks,
         t_min = st["t_min"]
         for l in range(1, BRICK_LEVELS + 1):
             half = f32(brick_exp2 * 2.0 ** (-l))
-            t_center = (bpos + half) * st["t_coef"] - st["t_bias"]
+            # same expression shape as the plain path's descent (TPU FMA
+            # rounding — see _brick_round)
+            t_center = half * st["t_coef"] + (bpos * st["t_coef"]
+                                              - st["t_bias"])
             upper = t_center > t_min[:, None]
             bpos = bpos + jnp.where(upper, half, f32(0.0))
 

@@ -420,7 +420,7 @@ def _walk_chunk(st, codes, ids, t_codes, bricks, depth, top_depth, k_max,
         nbpos = pos_b
         for l in range(1, BRICK_LEVELS + 1):
             half = f32(bsize * 2.0 ** -l)
-            t_center = (nbpos + half) * t_coef - t_bias
+            t_center = half * t_coef + (nbpos * t_coef - t_bias)
             upper = t_center > t_in[..., None]
             nbpos = nbpos + jnp.where(upper, half, f32(0.0))
 
