@@ -123,12 +123,12 @@ def main():
                 return float(jnp.sum(img) + residual)
         else:
             def run(tag):
-                loss, grads = diff.loss_and_grads_tile(
+                (loss, residual), grads = diff.loss_and_grads_tile(
                     albedo, normal, density, tsvo, o_t, d_t, corners,
                     light + tag, target_t, k_max=tile_k)
                 gsum = sum(jnp.sum(jnp.abs(g))
                            for g in jax.tree_util.tree_leaves(grads))
-                return float(loss + gsum)
+                return float(loss + gsum + residual)
     elif use_brick:
         if mode == "fwd":
             def run(tag):

@@ -126,6 +126,7 @@ def cmd_fit(args):
                             learning_rate=args.lr)
 
     # posed views on a circle around the scene
+    from raytracingtest_tpu.config import CameraConfig
     rng = np.random.default_rng(args.seed)
     views = []
     res = args.view_resolution
@@ -133,6 +134,8 @@ def cmd_fit(args):
         ang = 2 * np.pi * v / args.views
         pos = (0.5 + 1.1 * np.cos(ang), 0.6 + 0.25 * rng.random(),
                0.5 + 1.1 * np.sin(ang))
+        ccfg = CameraConfig(position=pos, look_at=(0.5, 0.5, 0.5),
+                            fov_y_deg=45.0, width=res, height=res)
         cam = Camera(position=pos, look_at=(0.5, 0.5, 0.5), fov_y_deg=45.0,
                      width=res, height=res)
         o, d = cam.rays(np)
@@ -140,21 +143,28 @@ def cmd_fit(args):
             jnp.asarray(svo.leaf_albedo), jnp.asarray(svo.leaf_normal),
             jnp.asarray(svo.leaf_density), svo.masks, svo.child_base,
             svo.leaf_base, jnp.asarray(o), jnp.asarray(d), svo.depth, light)
-        views.append((o, d, np.asarray(target)))
+        views.append((ccfg, np.asarray(target)))
     print(f"synthesized {len(views)} posed target views at {res}x{res}",
           file=sys.stderr)
 
     params, opt_state = model.init_params(seed=args.seed,
                                           randomize=("albedo",))
     t0 = time.time()
+    resid_total = 0
     for step in range(args.steps):
-        o, d, target = views[step % len(views)]
-        o_s, d_s, t_s = model.shard_rays(o, d, target)
-        params, opt_state, loss = model.step(params, opt_state, o_s, d_s,
-                                             light, t_s)
+        ccfg, target = views[step % len(views)]
+        # the fastest applicable production path (tile > brick > plain);
+        # residual counts rays whose loss terms used cap-limited hits
+        params, opt_state, loss, resid = model.step_view(
+            params, opt_state, ccfg, light, target)
+        resid_total += int(resid)
         if step % max(args.steps // 10, 1) == 0 or step == args.steps - 1:
             print(f"step {step:5d}  loss {float(loss):.3e}  "
-                  f"({time.time()-t0:.1f}s)", file=sys.stderr)
+                  f"residual {int(resid)}  ({time.time()-t0:.1f}s)",
+                  file=sys.stderr)
+    if resid_total:
+        print(f"WARNING: {resid_total} ray-steps trained on cap-limited "
+              "hits (raise fb_tiles/fb_k)", file=sys.stderr)
     err = float(jnp.abs(params["albedo"]
                         - jnp.asarray(svo.leaf_albedo)).mean())
     print(f"final mean |albedo error| = {err:.4f}", file=sys.stderr)

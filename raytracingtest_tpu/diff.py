@@ -54,14 +54,54 @@ def _gather_fwd(albedo, normal, density, leaf_id):
     return out, (leaf_id, albedo.shape[0])
 
 
+import os as _os
+
+# backward scatter scheme: "seg" (sort + cumsum + boundary gather, the
+# round-4 default) or "rank1" (seven rank-1 scatter-adds, the r3 scheme).
+SCATTER_MODE = _os.environ.get("RTT_SCATTER", "seg")
+# below this row count the rank-1 path runs regardless: it is bit-identical
+# to builtin autodiff's scatter (same serialized add order) and row counts
+# this small are scatter-cheap anyway
+SEG_MIN_ROWS = 1 << 16
+
+
+def _segment_reduce_cols(leaf_id, cols, n_out):
+    """Key-grouped column reduction without a row scatter.
+
+    sort rows by leaf id -> running f32 column sums -> per-leaf boundaries
+    from a count histogram -> ONE (n_out+1)-row gather of the running sums
+    -> adjacent difference. Measured 18.4 ms vs 48.8 ms for seven rank-1
+    scatter-adds at 1M rows x 7 cols into 1.1M leaves (scratch/r4_bwd2.py;
+    the scalar-scatter floor is ~7 ms/column and can't be batched).
+    Deterministic (stable sort, fixed reduction tree). Differs from the
+    serialized-scatter result only by f32 reassociation in the cumsum:
+    measured max abs deviation 9.5e-5 on 1M uniform(-.5,.5) rows whose
+    running sums random-walk to ~2.5 — far inside training noise, and the
+    exact rank-1 path still runs below SEG_MIN_ROWS (so the tight
+    oracle-equality gradcheck in tests/test_grad.py exercises it)."""
+    n, C = cols.shape
+    order = jnp.argsort(leaf_id)
+    rows = jnp.take(cols, order, axis=0)
+    S = jnp.cumsum(rows, axis=0)
+    S = jnp.concatenate([jnp.zeros((1, C), cols.dtype), S], axis=0)
+    cnt = jnp.zeros(n_out, jnp.int32).at[leaf_id].add(1)
+    start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt).astype(jnp.int32)])
+    G = jnp.take(S, start, axis=0)
+    return G[1:] - G[:-1]
+
+
 def _gather_bwd(res, cot):
     leaf_id, n_leaves = res
     g_alb, g_nrm, g_den = cot
+    if SCATTER_MODE == "seg" and leaf_id.shape[0] >= SEG_MIN_ROWS:
+        cols7 = jnp.concatenate([g_alb, g_nrm, g_den[:, None]], axis=1)
+        out = _segment_reduce_cols(leaf_id, cols7, n_leaves)
+        return out[:, 0:3], out[:, 3:6], out[:, 6], None
     # seven RANK-1 scatter-adds: XLA:TPU lowers a scalar scatter ~10x
     # faster per element than a (N,7)-row scatter (~9 vs ~90 ns/row,
-    # PROFILE.md), and scatter-add is deterministic on TPU (serialized,
-    # no atomics) — so per-column scatters beat the former sort +
-    # segment-sum pipeline by ~2x total
+    # PROFILE.md), scatter-add is deterministic on TPU (serialized, no
+    # atomics), and the add order matches builtin autodiff bit-for-bit
     cols = (g_alb[:, 0], g_alb[:, 1], g_alb[:, 2],
             g_nrm[:, 0], g_nrm[:, 1], g_nrm[:, 2], g_den)
     outs = [jnp.zeros((n_leaves,), jnp.float32).at[leaf_id].add(c)
@@ -87,6 +127,9 @@ def shade_diff(hit_leaf, direction, albedo, normal, density,
     against the sky), giving density a gradient path even in the
     single-hit renderer.
     """
+    if albedo.shape[0] == 0:
+        # empty scene: every ray misses; sky only (no empty-axis gather)
+        return sky_color(direction, jnp)
     hit = hit_leaf >= 0
     safe_leaf = jnp.where(hit, hit_leaf, 0)
     alb, nrm, den = gather_voxel_params(albedo, normal, density, safe_leaf)
@@ -274,10 +317,11 @@ loss_and_grads_brick = jax.jit(
 # tile-major (tile.tile_rays); same differentiable shading VJP.
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("k_max", "chunk_tiles", "fb_width"))
+@partial(jax.jit, static_argnames=("k_max", "chunk_tiles", "fb_tiles",
+                                   "fb_k"))
 def render_diff_tile(albedo, normal, density, tsvo, o, d, corners,
                      light_dir, light_intensity=1.3, light_ambient=0.08,
-                     k_max=64, chunk_tiles=256, fb_width=32768):
+                     k_max=64, chunk_tiles=256, fb_tiles=256, fb_k=256):
     """Differentiable render via the tile traversal (hits bit-identical to
     render_diff — tested). o/d: (T, P, 3) tile-major; returns ((T*P, 3)
     radiance, residual-unresolved count)."""
@@ -285,9 +329,9 @@ def render_diff_tile(albedo, normal, density, tsvo, o, d, corners,
     caps = tile_mod._default_caps(tsvo.top_depth, k_max)
     b = tsvo.bsvo
     res, residual = tile_mod._trace_tile_fb(
-        tsvo.pyr, tsvo.cellmap, b.bricks, b.top_masks, b.top_child,
-        b.top_parent, o, d, corners, o[0, 0], tsvo.depth, tsvo.top_depth,
-        caps, k_max, chunk_tiles, fb_width)
+        tsvo.pyr, tsvo.cellmap, b.bricks, o, d, corners, o[0, 0],
+        tsvo.depth, tsvo.top_depth,
+        caps, k_max, chunk_tiles, fb_tiles, fb_k)
     hit_leaf = jax.lax.stop_gradient(res.hit_leaf)
     img = shade_diff(hit_leaf, d.reshape(-1, 3), albedo, normal, density,
                      light_dir, light_intensity, light_ambient)
@@ -295,16 +339,20 @@ def render_diff_tile(albedo, normal, density, tsvo, o, d, corners,
 
 
 def l2_loss_tile(albedo, normal, density, tsvo, o, d, corners, light_dir,
-                 target, k_max=64, chunk_tiles=256, fb_width=32768):
-    img, _ = render_diff_tile(albedo, normal, density, tsvo, o, d, corners,
-                              light_dir, k_max=k_max,
-                              chunk_tiles=chunk_tiles, fb_width=fb_width)
-    return jnp.mean((img - target) ** 2)
+                 target, k_max=64, chunk_tiles=256, fb_tiles=256, fb_k=256):
+    """Tile-path training loss. Returns (loss, residual count): residual is
+    the number of rays whose hits are still cap-limited after the enlarged-K
+    re-walk (loss/grads over them use inexact hits) — callers must surface
+    it instead of silently training on wrong pixels (VERDICT r03 weak 3)."""
+    img, residual = render_diff_tile(
+        albedo, normal, density, tsvo, o, d, corners, light_dir,
+        k_max=k_max, chunk_tiles=chunk_tiles, fb_tiles=fb_tiles, fb_k=fb_k)
+    return jnp.mean((img - target) ** 2), residual
 
 
 loss_and_grads_tile = jax.jit(
-    jax.value_and_grad(l2_loss_tile, argnums=(0, 1, 2)),
-    static_argnames=("k_max", "chunk_tiles", "fb_width"),
+    jax.value_and_grad(l2_loss_tile, argnums=(0, 1, 2), has_aux=True),
+    static_argnames=("k_max", "chunk_tiles", "fb_tiles", "fb_k"),
 )
 
 

@@ -40,35 +40,42 @@ def _camera(cfg: CameraConfig) -> Camera:
                   width=cfg.width, height=cfg.height)
 
 
-def _brick_of(obj):
-    """Lazy cached brick decomposition of a model's SVO (None when the tree
-    is too shallow for bricks — shallow trees use the plain path). Keyed on
-    the SVO object identity so reassigning `renderer.svo` invalidates the
-    cache instead of silently rendering the stale structure."""
+def _accel_of(obj):
+    """Lazy cached acceleration structures for a model's SVO: (device
+    BrickSVO, device TileSVO). Either can be None: bricks need depth >=
+    BRICK_LEVELS+1 (shallow trees use the plain path), the tile pyramid
+    additionally needs top_depth <= 10 (deeper trees fall back to the
+    per-ray brick path). The cache pins the SVO OBJECT itself (identity
+    compare with `is`) so reassigning `renderer.svo` always invalidates it —
+    an id()-keyed cache could silently serve a stale structure after CPython
+    reuses a freed object's id. The host brick decomposition is built once
+    and its device arrays shared by both structures."""
     from raytracingtest_tpu.ops import brick as brick_mod
-    cache = getattr(obj, "_bsvo_cache", None)
-    if cache is None or cache[0] != id(obj.svo):
+    from raytracingtest_tpu.ops import tile as tile_mod
+    cache = getattr(obj, "_accel_cache", None)
+    if cache is None or cache[0] is not obj.svo:
+        bsvo_dev = tsvo_dev = None
         if obj.svo.depth >= brick_mod.BRICK_LEVELS + 1:
-            bsvo = brick_mod.make_brick_svo(obj.svo).device()
-        else:
-            bsvo = None
-        cache = (id(obj.svo), bsvo)
-        object.__setattr__(obj, "_bsvo_cache", cache)
-    return cache[1]
+            bsvo_host = brick_mod.make_brick_svo(obj.svo)
+            bsvo_dev = bsvo_host.device()
+            if bsvo_host.top_depth <= 10:
+                tsvo_host = tile_mod.make_tile_svo(obj.svo, bsvo=bsvo_host)
+                # share the already-uploaded brick arrays instead of
+                # re-uploading a second device copy inside TileSVO
+                tsvo_dev = tile_mod.TileSVO(
+                    bsvo=bsvo_dev, pyr=jnp.asarray(tsvo_host.pyr),
+                    cellmap=jnp.asarray(tsvo_host.cellmap))
+        cache = (obj.svo, bsvo_dev, tsvo_dev)
+        object.__setattr__(obj, "_accel_cache", cache)
+    return cache[1], cache[2]
+
+
+def _brick_of(obj):
+    return _accel_of(obj)[0]
 
 
 def _tile_of(obj):
-    """Lazy cached tile decomposition (pyramid + bricks), keyed like
-    _brick_of; None when the tree is too shallow."""
-    from raytracingtest_tpu.ops import tile as tile_mod
-    cache = getattr(obj, "_tsvo_cache", None)
-    if cache is None or cache[0] != id(obj.svo):
-        bsvo = _brick_of(obj)
-        tsvo = (tile_mod.make_tile_svo(obj.svo, bsvo=None).device()
-                if bsvo is not None else None)
-        cache = (id(obj.svo), tsvo)
-        object.__setattr__(obj, "_tsvo_cache", cache)
-    return cache[1]
+    return _accel_of(obj)[1]
 
 
 @dataclasses.dataclass
@@ -189,9 +196,16 @@ class InverseRenderer:
         self.optimizer = optax.multi_transform(
             {"train": optax.adam(self.learning_rate),
              "freeze": optax.set_to_zero()}, labels)
-        # the fit runs on the production brick traversal when the tree is
-        # deep enough (bit-identical hits -> identical loss/grads; tested)
-        self._bsvo = _brick_of(self)
+        # the fit runs on the production traversal hierarchy: tile step
+        # (fastest; exact with surfaced residual) when the tree supports the
+        # pyramid, else brick, else the plain ESVO loop — all bit-identical
+        # hits -> identical loss/grads (tested)
+        self._bsvo, self._tsvo = _accel_of(self)
+        self._step_tile = None
+        if self._tsvo is not None:
+            from raytracingtest_tpu.parallel.render_sharded import (
+                make_train_step_tile)
+            self._step_tile = make_train_step_tile(self.mesh, self.optimizer)
         if self._bsvo is not None:
             self._step = make_train_step_brick(
                 self.mesh, self.svo.depth, self._bsvo.top_depth,
@@ -228,3 +242,33 @@ class InverseRenderer:
         return self._step(params, opt_state, self.svo.masks,
                           self.svo.child_base, self.svo.leaf_base, o, d,
                           light, target)
+
+    def step_view(self, params, opt_state, camera_cfg, light, target_img):
+        """One train step against a posed target image, on the FASTEST
+        applicable path: tile-amortized when the camera is pinhole with
+        tile-aligned resolution and the tree supports the pyramid, else the
+        brick/plain flat-ray step. target_img: (H*W, 3) row-major pixels.
+
+        Returns (params, opt_state, loss, residual). residual > 0 means
+        some rays' loss terms used cap-limited (inexact) hits — it is 0 in
+        normal operation and training drivers must surface it (no silent
+        ray loss in training; the forward path's guarantee, kept here)."""
+        import jax.numpy as jnp
+        from raytracingtest_tpu.ops import tile as tile_mod
+        from raytracingtest_tpu.parallel.mesh import ray_sharding
+        cam = _camera(camera_cfg)
+        if (self._step_tile is not None and cam.ortho_height <= 0.0
+                and camera_cfg.width % 16 == 0
+                and camera_cfg.height % 16 == 0):
+            o_t, d_t, corners, grid = tile_mod.tile_rays(cam, np)
+            tgt = tile_mod.tile_pixels(np.asarray(target_img), grid)
+            sh = ray_sharding(self.mesh)
+            put = lambda x: jax.device_put(jnp.asarray(x), sh)
+            return self._step_tile(params, opt_state, self._tsvo,
+                                   put(o_t), put(d_t), put(corners), light,
+                                   put(tgt.reshape(-1, 3)))
+        o, d = cam.rays(np)
+        o_s, d_s, t_s = self.shard_rays(o, d, target_img)
+        params, opt_state, loss = self.step(params, opt_state, o_s, d_s,
+                                            light, t_s)
+        return params, opt_state, loss, jnp.zeros((), jnp.int32)

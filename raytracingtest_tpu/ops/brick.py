@@ -43,6 +43,7 @@ import jax.numpy as jnp
 
 from raytracingtest_tpu.ops.traverse import (
     S_MAX, TraceResult, init_state, popc8, _f2i, _i2f, max_iters_for_depth,
+    vconst,
 )
 
 BRICK_LEVELS = 3  # bottom levels folded into 8^3 bit bricks
@@ -497,14 +498,14 @@ def _trace_brick_core(top_masks, top_child, top_parent, bricks, origin,
     st = dict(
         pos=st0.pos, idx=st0.idx, parent=st0.parent, scale=st0.scale,
         t_min=st0.t_min, octant_mask=st0.octant_mask, t_coef=st0.t_coef,
-        t_bias=st0.t_bias, done=st0.done, popped=jnp.zeros(n, bool),
-        parked=jnp.zeros(n, bool), brick_id=jnp.zeros(n, i32),
-        hit_leaf=jnp.full(n, -1, i32), hit_t=st0.hit_t,
-        hit_parent=jnp.full(n, -1, i32), hit_child=st0.hit_child,
+        t_bias=st0.t_bias, done=st0.done, popped=jnp.zeros_like(st0.done),
+        parked=jnp.zeros_like(st0.done), brick_id=jnp.zeros_like(st0.idx),
+        hit_leaf=st0.hit_leaf, hit_t=st0.hit_t,
+        hit_parent=st0.hit_parent, hit_child=st0.hit_child,
         iters=st0.iters,
     )
     if lod is not None:
-        st["hit_node"] = jnp.full(n, -1, i32)
+        st["hit_node"] = st0.hit_parent
     n_max_top = max_iters_for_depth(top_depth)
     # rounds bound: generous; the loop exits when every ray is done
     n_max_rounds = 16 * depth + 64
@@ -514,9 +515,9 @@ def _trace_brick_core(top_masks, top_child, top_parent, bricks, origin,
         out_keys = out_keys + ("hit_node",)
     out_keys = out_keys + ("iters",)
     outs = {k: st[k] for k in out_keys}
-    orig = jnp.arange(n, dtype=i32)
+    orig = jnp.zeros_like(st0.idx) + jnp.arange(n, dtype=i32)
     st["orig"] = orig
-    st["base_iters"] = jnp.zeros(n, i32)
+    st["base_iters"] = jnp.zeros_like(st0.iters)
 
     widths = [n]
     w = n
@@ -559,7 +560,7 @@ def _trace_brick_core(top_masks, top_child, top_parent, bricks, origin,
             perm = jnp.argsort(st["done"])[:next_width]
             st = {k: jnp.take(v, perm, axis=0) for k, v in st.items()}
             st["base_iters"] = st["base_iters"] + st["iters"]
-            st["iters"] = jnp.zeros(next_width, i32)
+            st["iters"] = jnp.zeros_like(st["base_iters"])
 
     return TraceResult(outs["hit_leaf"], outs["hit_t"], outs["hit_parent"],
                        outs["hit_child"], outs["iters"],
@@ -582,15 +583,15 @@ def _trace_brick_multi_core(top_masks, top_child, top_parent, bricks,
     st = dict(
         pos=st0.pos, idx=st0.idx, parent=st0.parent, scale=st0.scale,
         t_min=st0.t_min, octant_mask=st0.octant_mask, t_coef=st0.t_coef,
-        t_bias=st0.t_bias, done=st0.done, popped=jnp.zeros(n, bool),
-        parked=jnp.zeros(n, bool), brick_id=jnp.zeros(n, i32),
-        hit_leaf=jnp.full(n, -1, i32), hit_t=st0.hit_t,
-        hit_parent=jnp.full(n, -1, i32), hit_child=st0.hit_child,
+        t_bias=st0.t_bias, done=st0.done, popped=jnp.zeros_like(st0.done),
+        parked=jnp.zeros_like(st0.done), brick_id=jnp.zeros_like(st0.idx),
+        hit_leaf=st0.hit_leaf, hit_t=st0.hit_t,
+        hit_parent=st0.hit_parent, hit_child=st0.hit_child,
         iters=st0.iters,
-        hits_leaf=jnp.full((k, n), -1, i32),
-        hits_tin=jnp.zeros((k, n), f32),
-        hits_tout=jnp.zeros((k, n), f32),
-        count=jnp.zeros(n, i32),
+        hits_leaf=vconst(st0.idx, -1, shape=(k, n)),
+        hits_tin=vconst(st0.hit_t, shape=(k, n)),
+        hits_tout=vconst(st0.hit_t, shape=(k, n)),
+        count=jnp.zeros_like(st0.idx),
     )
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (k, n), 0)
     n_max_top = max_iters_for_depth(top_depth) + 8 * k

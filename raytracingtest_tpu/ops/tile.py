@@ -49,12 +49,33 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from raytracingtest_tpu.ops.traverse import S_MAX, TraceResult, init_state, _f2i
+from raytracingtest_tpu.ops.traverse import (
+    S_MAX, TraceResult, init_state, _f2i, vconst)
 from raytracingtest_tpu.ops.brick import (
     BRICK_LEVELS, BrickSVO, make_brick_svo, _popcount32, _spread3, _sel16,
 )
 
 _SENTINEL = np.int32(2**31 - 1)
+
+# walker selection: "window" (round-4 per-ray-cursor walker, the default) or
+# "lockstep" (round-3 tile-synchronous walker, kept for A/B measurement)
+import os as _os  # noqa: E402
+TILE_WALKER = _os.environ.get("RTT_TILE_WALKER", "window")
+TILE_WIN = int(_os.environ.get("RTT_TILE_WIN", "4"))
+
+
+def _walk_chunk(st, codes, ids, t_codes, bricks, depth, top_depth, k_max,
+                dda_unroll=6):
+    """Dispatch to the selected walker; returns (hit_leaf, hit_t, iters,
+    unfin) with unfin the backstop-bail mask (always False for lockstep)."""
+    if TILE_WALKER == "lockstep":
+        hl, ht, it = _walk_chunk_lockstep(st, codes, ids, t_codes, bricks,
+                                          depth, top_depth, k_max,
+                                          dda_unroll=dda_unroll)
+        return hl, ht, it, jnp.zeros_like(st["miss0"])
+    return _walk_chunk_window(st, codes, ids, t_codes, bricks, depth,
+                              top_depth, k_max, dda_unroll=dda_unroll,
+                              win=TILE_WIN)
 
 
 # ---------------------------------------------------------------------------
@@ -217,6 +238,16 @@ def tile_rays(cam, xp=np, tile_px=16, jitter=None):
     return xp.asarray(o), xp.asarray(d), xp.asarray(corners), (ty, tx)
 
 
+def tile_pixels(img_flat, grid, tile_px=16):
+    """Row-major pixels -> tile-major ray order (inverse of untile_image);
+    used to reorder target images for the tile-path train step."""
+    ty, tx = grid
+    c = img_flat.shape[1:]
+    x = img_flat.reshape(ty, tile_px, tx, tile_px, *c)
+    x = x.transpose(0, 2, 1, 3, *range(4, 4 + len(c)))
+    return x.reshape(ty * tx * tile_px * tile_px, *c)
+
+
 def untile_image(img_flat, grid, tile_px=16):
     """Inverse of tile_rays' pixel ordering: (T*P, C) -> (H*W, C)."""
     ty, tx = grid
@@ -366,9 +397,242 @@ def _sel16b(words, w):
     return acc
 
 
-def _walk_chunk(st, codes, ids, t_codes, bricks, depth, top_depth, k_max,
-                dda_unroll=6):
-    """Fused front-to-back candidate walk for one chunk of tiles.
+def _walk_chunk_window(st, codes, ids, t_codes, bricks, depth, top_depth,
+                       k_max, dda_unroll=6, win=8):
+    """Fused candidate walk with PER-RAY cursors and a rotating per-tile
+    candidate window (the round-4 forward hot path).
+
+    The lockstep walker (_walk_chunk_lockstep) serializes a tile on every
+    candidate: the whole tile waits for its slowest ray's DDA before the
+    next candidate loads, so a tile pays (1 load + max-ray DDA rounds) per
+    candidate. Here each tile instead streams one candidate per iteration
+    into a `win`-slot rotating buffer (win_words holds the brick's 16
+    occupancy words, tile-uniform), and every ray walks its OWN cursor
+    through the t-ascending list: initialize into candidate `cur` as soon
+    as its slot is loaded, run the exact brick DDA, advance `cur` on exit,
+    and finish when t_codes[cur] can no longer beat the ray's current hit
+    (the same exactness invariant as the lockstep walker — all candidates
+    with t_lb < hit_t are visited, min-t hit kept). Loads overlap DDA work
+    instead of alternating with it, so a tile's iteration count drops from
+    sum_c (1 + rounds_c) to ~max(n_candidates, per-ray DDA rounds).
+
+    A ray's current brick words are staged into rwords (Tc,P,16) once at
+    init (win-way x 16 masked select) so the per-step word select stays the
+    cheap 16-way chain. st fields are (Tc,P,...) ray state; codes/ids/
+    t_codes are the chunk's (Tc,K) candidate lists (t_codes ascending).
+    Hits are exact ESVO DDA results, bit-identical to the per-ray paths."""
+    f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
+    Tc, P = st["t0"].shape
+    win = min(win, k_max)
+    bsize = f32(2.0 ** -top_depth)
+    vsize = f32(2.0 ** -depth)
+    vshift = S_MAX - depth
+    om = st["om"]
+    om_bits = jnp.stack([om & 1, (om >> 1) & 1, (om >> 2) & 1], axis=-1)
+    flip = jnp.where(om_bits == 1, jnp.int32(0), jnp.int32(7))   # (Tc,P,3)
+    t_coef, t_bias = st["t_coef"], st["t_bias"]
+
+    zf2 = jnp.zeros_like(st["t0"])            # f32 (Tc,P), vma-consistent
+    zi2 = jnp.zeros_like(om)                  # i32 (Tc,P)
+    zt = jnp.zeros_like(st["t0"][:, 0])       # f32 (Tc,)
+    zti = zt.astype(i32)
+    carry = dict(
+        base=zti,                             # candidates loaded so far
+        list_end=zt != 0.0,
+        win_words=vconst(zt, dtype=u32, shape=(Tc, win, 16)),
+        win_bid=vconst(zti, -1, shape=(Tc, win)),
+        win_code=vconst(zti, shape=(Tc, win)),
+        win_tlb=vconst(zt, jnp.inf, shape=(Tc, win)),
+        cur=zi2,                              # per-ray candidate cursor
+        cur_bid=zi2 - 1,                      # brick id being walked
+        rwords=vconst(zi2, dtype=u32, shape=(Tc, P, 16)),
+        walking=zf2 != 0.0,
+        fin=st["miss0"],
+        bpos=vconst(zf2, 1.0, shape=(Tc, P, 3)),
+        t_cur=zf2,
+        hit_bid=zi2 - 1,
+        hit_idx9=zi2,
+        hit_t=zf2 + jnp.inf,
+        iters=zi2,
+    )
+    slot_iota = jnp.arange(win, dtype=i32)[None, :]          # (1,win)
+
+    def body(c):
+        # ---- per-tile rotating load: stream candidate `base` into slot
+        # base % win, provided no active ray still needs the candidate the
+        # slot currently holds (min active cursor >= base - win + 1) ----
+        act = ~c["fin"]
+        m = jnp.min(jnp.where(act, c["cur"], k_max), axis=1)     # (Tc,)
+        can_load = ((m >= c["base"] - (win - 1)) & ~c["list_end"]
+                    & (c["base"] < k_max) & jnp.any(act, axis=1))
+        kk = jnp.minimum(c["base"], k_max - 1)[:, None]
+        id_k = jnp.take_along_axis(ids, kk, axis=1)[:, 0]
+        code_k = jnp.take_along_axis(codes, kk, axis=1)[:, 0]
+        tlb_k = jnp.take_along_axis(t_codes, kk, axis=1)[:, 0]
+        nwords = jnp.take(bricks, jnp.maximum(id_k, 0), axis=0)[:, :16]
+        slot = (c["base"] & (win - 1))[:, None]                  # (Tc,1)
+        sm = (slot_iota == slot) & can_load[:, None]             # (Tc,win)
+        win_words = jnp.where(sm[..., None], nwords[:, None, :],
+                              c["win_words"])
+        win_bid = jnp.where(sm, id_k[:, None], c["win_bid"])
+        win_code = jnp.where(sm, code_k[:, None], c["win_code"])
+        win_tlb = jnp.where(sm, jnp.where(id_k >= 0, tlb_k, jnp.inf)[:, None],
+                            c["win_tlb"])
+        base = c["base"] + can_load.astype(i32)
+        list_end = c["list_end"] | (can_load & (id_k < 0))
+
+        # ---- per-ray init/advance: rays not walking evaluate their cursor
+        # candidate once its slot is loaded ----
+        in_win = (c["cur"] < base[:, None]) & (
+            c["cur"] >= base[:, None] - win)
+        ready = ~c["walking"] & ~c["fin"] & in_win
+        rs = c["cur"] & (win - 1)                                # (Tc,P)
+        # win-way masked selects on (Tc,P) operands (no (Tc,P,win)
+        # materialization)
+        r_bid = jnp.full_like(rs, -1)
+        r_code = jnp.zeros_like(rs)
+        r_tlb = jnp.full_like(c["t_cur"], jnp.inf)
+        for j in range(win):
+            mj = rs == j
+            r_bid = jnp.where(mj, win_bid[:, j, None], r_bid)
+            r_code = jnp.where(mj, win_code[:, j, None], r_code)
+            r_tlb = jnp.where(mj, win_tlb[:, j, None], r_tlb)
+
+        # finished: nothing later can beat the current hit (list ascending),
+        # list exhausted, or cursor past the cap. The cap check must NOT
+        # require the slot to be loaded: on a saturated list (no sentinel)
+        # cur == k_max == base is never in-window and would deadlock
+        fin_over = ~c["walking"] & ~c["fin"] & (c["cur"] >= k_max)
+        fin_now = (ready & ((r_tlb >= c["hit_t"]) | (r_bid < 0))) | fin_over
+        fin = c["fin"] | fin_now
+        try_init = ready & ~fin_now
+
+        pos_b = _mirrored_brick_corner(r_code, om, top_depth)    # (Tc,P,3)
+        t_hi = (pos_b + bsize) * t_coef - t_bias
+        t_lo = pos_b * t_coef - t_bias
+        t_in = jnp.maximum(jnp.max(t_hi, axis=-1), st["t0"])
+        t_out = jnp.min(t_lo, axis=-1)
+        enter = try_init & (t_in < t_out) & (t_in < c["hit_t"])
+        skip = try_init & ~enter
+
+        # entry descent: brick corner -> entry voxel (exact ESVO planes)
+        nbpos = pos_b
+        for l in range(1, BRICK_LEVELS + 1):
+            half = f32(bsize * 2.0 ** -l)
+            t_center = half * t_coef + (nbpos * t_coef - t_bias)
+            upper = t_center > t_in[..., None]
+            nbpos = nbpos + jnp.where(upper, half, f32(0.0))
+
+        # stage the entered brick's words into the per-ray cache: win-way
+        # masked select on (Tc,P,16) operands, once per iteration, so the
+        # per-step word select stays the cheap 16-way chain
+        rwords = c["rwords"]
+        for j in range(win):
+            mj = (enter & (rs == j))[..., None]                  # (Tc,P,1)
+            rwords = jnp.where(mj, win_words[:, None, j, :], rwords)
+
+        cur = c["cur"] + skip.astype(i32)
+        walking = c["walking"] | enter
+        bpos = jnp.where(enter[..., None], nbpos, c["bpos"])
+        t_cur = jnp.where(enter, t_in, c["t_cur"])
+        cur_bid = jnp.where(enter, r_bid, c["cur_bid"])
+
+        # ---- dda_unroll exact DDA steps (masked by walking) ----
+        hit_bid, hit_idx9, hit_t = c["hit_bid"], c["hit_idx9"], c["hit_t"]
+        iters = c["iters"]
+        for _ in range(dda_unroll):
+            a_ = walking
+            li = (_f2i(bpos, jnp) >> vshift) & 7                 # (Tc,P,3)
+            aa = li ^ flip
+            idx9 = (_spread3(aa[..., 0]) | (_spread3(aa[..., 1]) << 1)
+                    | (_spread3(aa[..., 2]) << 2))
+            wsel = idx9 >> 5
+            bitpos = (idx9 & 31).astype(u32)
+            w = _sel16r(rwords, wsel)
+            occ = ((w >> bitpos) & 1) != 0
+            hit_now = a_ & occ & (t_cur < hit_t)
+
+            t_corner = bpos * t_coef - t_bias
+            tc_max = jnp.min(t_corner, axis=-1)
+            adv = a_ & ~hit_now
+            step_bits = t_corner <= tc_max[..., None]
+            exit_b = adv & jnp.any(step_bits & (li == 0), axis=-1)
+            stay = adv & ~exit_b
+            bpos = bpos - jnp.where(step_bits & stay[..., None], vsize,
+                                    f32(0.0))
+            t_cur = jnp.where(adv, jnp.maximum(t_cur, tc_max), t_cur)
+            ended = hit_now | exit_b
+            cur = cur + ended.astype(i32)
+            walking = stay
+            hit_bid = jnp.where(hit_now, cur_bid, hit_bid)
+            hit_idx9 = jnp.where(hit_now, idx9, hit_idx9)
+            hit_t = jnp.where(hit_now, t_cur, hit_t)
+            iters = iters + a_.astype(i32)
+
+        return dict(
+            base=base, list_end=list_end, win_words=win_words,
+            win_bid=win_bid, win_code=win_code, win_tlb=win_tlb,
+            cur=cur, cur_bid=cur_bid, rwords=rwords, walking=walking,
+            fin=fin, bpos=bpos, t_cur=t_cur, hit_bid=hit_bid,
+            hit_idx9=hit_idx9, hit_t=hit_t, iters=iters)
+
+    # hard backstop: liveness argues the loop always drains (each iteration
+    # loads, inits, steps, or finishes someone), but a bound keeps any
+    # unforeseen stall from hanging a device; bailed rays are REPORTED via
+    # the unfin mask (folded into unresolved — never silent)
+    n_max = k_max * (2 + (3 * 8 + 2) // dda_unroll) + win + 64
+
+    def cond(ic):
+        i, c = ic
+        return (i < n_max) & jnp.any(~c["fin"] | c["walking"])
+
+    def body_i(ic):
+        i, c = ic
+        return i + 1, body(c)
+
+    _, carry = jax.lax.while_loop(cond, body_i, (jnp.int32(0), carry))
+    hit_leaf, hit_t, iters = _resolve_hits(carry, bricks, Tc, P)
+    unfin = ~carry["fin"] | carry["walking"]
+    return hit_leaf, hit_t, iters, unfin
+
+
+def _sel16r(rwords, w):
+    """Per-lane select rwords[t, p, w[t,p]] with rwords (Tc,P,16): the same
+    16-way masked accumulate as _sel16b but against a per-ray word cache."""
+    acc = jnp.zeros_like(w, dtype=rwords.dtype)
+    for j in range(16):
+        acc = acc | jnp.where(w == j, rwords[:, :, j],
+                              jnp.zeros_like(rwords[:, :1, 0]))
+    return acc
+
+
+def _resolve_hits(carry, bricks, Tc, P):
+    """Post-walk leaf resolution: one fat row gather per ray."""
+    i32, u32 = jnp.int32, jnp.uint32
+    hit = carry["hit_bid"] >= 0
+    brow = jnp.take(bricks, jnp.maximum(carry["hit_bid"], 0).reshape(-1),
+                    axis=0)                                      # (Tc*P,17)
+    words = brow[:, :16]
+    bleaf = brow[:, 16].astype(i32)
+    idx9 = carry["hit_idx9"].reshape(-1)
+    wsel = idx9 >> 5
+    bitpos = (idx9 & 31).astype(u32)
+    w = _sel16(words, wsel)
+    pc = _popcount32(words).astype(i32)
+    word_iota = jnp.arange(16, dtype=i32)[None, :]
+    full = jnp.sum(jnp.where(word_iota < wsel[:, None], pc, 0), axis=1)
+    partial = _popcount32(w & ((u32(1) << bitpos) - 1)).astype(i32)
+    leaf = (bleaf + full + partial).reshape(Tc, P)
+    hit_leaf = jnp.where(hit, leaf, -1)
+    hit_t = jnp.where(hit, carry["hit_t"], 0.0)
+    return hit_leaf, hit_t, carry["iters"]
+
+
+def _walk_chunk_lockstep(st, codes, ids, t_codes, bricks, depth, top_depth,
+                         k_max, dda_unroll=6):
+    """Fused front-to-back candidate walk for one chunk of tiles (the
+    round-3 lockstep walker: the whole tile advances one candidate at a
+    time). Kept for A/B measurement against _walk_chunk_window.
 
     st fields are (Tc,P,...) ray state; codes/ids/t_codes are the chunk's
     (Tc,K) candidate lists (t_codes ascending per tile). Hits are exact ESVO
@@ -383,18 +647,23 @@ def _walk_chunk(st, codes, ids, t_codes, bricks, depth, top_depth, k_max,
     flip = jnp.where(om_bits == 1, jnp.int32(0), jnp.int32(7))   # (Tc,P,3)
     t_coef, t_bias = st["t_coef"], st["t_bias"]
 
+    # carry constants derive from the (varying) ray state so the while_loop
+    # stays vma-consistent under shard_map (traverse.vconst)
+    zf2 = jnp.zeros_like(st["t0"])           # f32 (Tc,P)
+    zi2 = jnp.zeros_like(om)                 # i32 (Tc,P)
+    zt = jnp.zeros_like(st["t0"][:, 0])      # f32 (Tc,)
     carry = dict(
-        k=jnp.zeros((Tc,), i32),            # per-tile next candidate
-        cur_bid=jnp.zeros((Tc,), i32),      # current candidate's brick id
-        words=jnp.zeros((Tc, 16), u32),
-        walking=jnp.zeros((Tc, P), bool),
-        bpos=jnp.ones((Tc, P, 3), f32),
-        t_cur=jnp.zeros((Tc, P), f32),
-        hit_bid=jnp.full((Tc, P), -1, i32),  # brick id of the hit
-        hit_idx9=jnp.zeros((Tc, P), i32),    # morton bit index of the hit
-        hit_t=jnp.full((Tc, P), jnp.inf, f32),
-        iters=jnp.zeros((Tc, P), i32),
-        tile_done=jnp.zeros((Tc,), bool),
+        k=zt.astype(i32),                   # per-tile next candidate
+        cur_bid=zt.astype(i32),             # current candidate's brick id
+        words=vconst(zt, dtype=u32, shape=(Tc, 16)),
+        walking=zf2 != 0.0,
+        bpos=vconst(zf2, 1.0, shape=(Tc, P, 3)),
+        t_cur=zf2,
+        hit_bid=zi2 - 1,                    # brick id of the hit
+        hit_idx9=zi2,                       # morton bit index of the hit
+        hit_t=zf2 + jnp.inf,
+        iters=zi2,
+        tile_done=zt != 0.0,
     )
 
     def body(c):
@@ -554,14 +823,15 @@ def _walk_tiles_chunk(bricks, o, d, codes, ids, t_codes, drop_t, *, depth,
         t0=st0.t_min.reshape(Tc, P),
         miss0=st0.done.reshape(Tc, P),   # never entered the root cube
     )
-    hit_leaf, hit_t, iters = _walk_chunk(
+    hit_leaf, hit_t, iters, unfin = _walk_chunk(
         st, codes, ids, t_codes, bricks, depth, top_depth, k_max,
         dda_unroll=dda_unroll)
 
-    # the walk visits every candidate that could matter; the only loss
-    # channel left is per-level cap dropping, bounded by drop_t per tile
+    # the walk visits every candidate that could matter; the loss channels
+    # left are per-level cap dropping (bounded by drop_t per tile) and the
+    # window walker's trip backstop (unfin — provably empty, never silent)
     hit_eff = jnp.where(hit_leaf >= 0, hit_t, jnp.inf)
-    unresolved = (drop_t[:, None] < hit_eff) & ~st["miss0"]
+    unresolved = ((drop_t[:, None] < hit_eff) & ~st["miss0"]) | unfin
     return hit_leaf, hit_t, iters, unresolved
 
 
@@ -595,50 +865,71 @@ def trace_tile(tsvo: TileSVO, o, d, corners, k_max=48, caps=None,
 
 @partial(jax.jit,
          static_argnames=("depth", "top_depth", "caps", "k_max",
-                          "chunk_tiles", "fb_width"))
-def _trace_tile_fb(pyr, cellmap, bricks, top_masks, top_child, top_parent,
-                   o, d, corners, apex, depth, top_depth, caps, k_max,
-                   chunk_tiles, fb_width):
-    """trace_tile + in-jit exact fallback: unresolved rays are compacted
-    into a static fb_width bucket and re-traced on the per-ray brick path
-    inside the same program (one dispatch end to end). Returns
-    (TraceResult, residual unresolved mask — rays beyond the bucket)."""
-    from raytracingtest_tpu.ops import brick as brick_mod
+                          "chunk_tiles", "fb_tiles", "fb_k"))
+def _trace_tile_fb(pyr, cellmap, bricks, o, d, corners, apex, depth,
+                   top_depth, caps, k_max, chunk_tiles, fb_tiles, fb_k):
+    """trace_tile + in-jit enlarged-K tile re-walk fallback.
+
+    Unresolved rays exist only because per-level candidate caps dropped a
+    candidate whose conservative t could precede a ray's hit. They cluster
+    in few (horizon-band) tiles, so instead of re-tracing rays on the
+    ~30 ms per-ray brick path (the r3 fallback), the fb_tiles tiles that
+    contain unresolved rays are RE-WALKED with enlarged caps (fb_k
+    candidates) — one extra chunk walk, same program. Returns (TraceResult,
+    residual mask): residual rays are those in unresolved tiles beyond the
+    fb_tiles bucket or still cap-limited at fb_k (typically none; callers
+    surface the count rather than silently dropping it)."""
+    T, P = o.shape[0], o.shape[1]
+    fb_tiles = min(fb_tiles, T)
     res, unresolved = _trace_tile(pyr, cellmap, bricks, o, d, corners, apex,
                                   depth, top_depth, caps, k_max, chunk_tiles)
-    n = res.hit_leaf.shape[0]
-    order = jnp.argsort(~unresolved)            # unresolved rays first
-    sel = order[:fb_width]
-    m = jnp.take(unresolved, sel)
-    # padding slots (already-resolved rays) become instant-miss rays so the
-    # fallback's loops drain as soon as the real unresolved rays finish
-    o_f = jnp.where(m[:, None], jnp.take(o.reshape(n, 3), sel, axis=0), 2.0)
-    d_f = jnp.where(m[:, None], jnp.take(d.reshape(n, 3), sel, axis=0), 1.0)
-    fb = brick_mod._trace_brick_core(top_masks, top_child, top_parent,
-                                     bricks, o_f, d_f, depth, top_depth)
-    hit_leaf = res.hit_leaf.at[sel].set(
-        jnp.where(m, fb.hit_leaf, jnp.take(res.hit_leaf, sel)))
-    hit_t = res.hit_t.at[sel].set(
-        jnp.where(m, fb.hit_t, jnp.take(res.hit_t, sel)))
-    residual = unresolved.at[sel].set(False)
-    return TraceResult(hit_leaf, hit_t, res.hit_parent, res.hit_child,
-                       res.iters), residual
+    un = unresolved.reshape(T, P)
+    un_tile = jnp.any(un, axis=1)
+    order = jnp.argsort(~un_tile)               # unresolved tiles first
+    sel_t = order[:fb_tiles]
+    m_t = jnp.take(un_tile, sel_t)              # real (non-padding) tiles
+
+    o_s = jnp.take(o, sel_t, axis=0)
+    d_s = jnp.take(d, sel_t, axis=0)
+    c_s = jnp.take(corners, sel_t, axis=0)
+    # generous caps: the re-walk exists to undo cap-dropping, so every
+    # level keeps up to fb_k candidates (clipped to the level's 8^l cells)
+    caps2 = tuple(min(fb_k, 8 ** l) for l in range(top_depth + 1))
+    codes2, ids2, t2, drop2 = _candidates(pyr, cellmap, c_s, apex,
+                                          top_depth, caps2, fb_k)
+    hit2, t_hit2, _it2, un2 = _walk_tiles_chunk(
+        bricks, o_s, d_s, codes2, ids2, t2, drop2, depth=depth,
+        top_depth=top_depth, k_max=fb_k)
+
+    hl = res.hit_leaf.reshape(T, P)
+    ht = res.hit_t.reshape(T, P)
+    rep = m_t[:, None]
+    hl = hl.at[sel_t].set(jnp.where(rep, hit2, jnp.take(hl, sel_t, axis=0)))
+    ht = ht.at[sel_t].set(jnp.where(rep, t_hit2,
+                                    jnp.take(ht, sel_t, axis=0)))
+    # after substitution `un` IS the residual: re-walked tiles carry their
+    # re-walk unresolved mask, uncovered tiles keep the original one
+    un = un.at[sel_t].set(jnp.where(rep, un2, jnp.take(un, sel_t, axis=0)))
+    return TraceResult(hl.reshape(T * P), ht.reshape(T * P),
+                       res.hit_parent, res.hit_child, res.iters), \
+        un.reshape(T * P)
 
 
 def trace_tile_fb(tsvo: TileSVO, o, d, corners, k_max=64, caps=None,
-                  chunk_tiles=256, fb_width=32768):
-    """Single-dispatch tile trace with in-jit exact fallback. The residual
-    mask is nonzero only when more than fb_width rays were unresolved."""
+                  chunk_tiles=256, fb_tiles=256, fb_k=256):
+    """Single-dispatch tile trace with in-jit enlarged-K tile re-walk
+    fallback. The residual mask is nonzero only when unresolved rays span
+    more than fb_tiles tiles or stay cap-limited at fb_k candidates."""
     o = jnp.asarray(o, jnp.float32)
     d = jnp.asarray(d, jnp.float32)
     caps = caps or _default_caps(tsvo.top_depth, k_max)
     b = tsvo.bsvo
     return _trace_tile_fb(
         jnp.asarray(tsvo.pyr), jnp.asarray(tsvo.cellmap),
-        jnp.asarray(b.bricks), jnp.asarray(b.top_masks),
-        jnp.asarray(b.top_child), jnp.asarray(b.top_parent),
+        jnp.asarray(b.bricks),
         o, d, jnp.asarray(corners, jnp.float32), o[0, 0],
-        tsvo.depth, tsvo.top_depth, caps, k_max, chunk_tiles, fb_width)
+        tsvo.depth, tsvo.top_depth, caps, k_max, chunk_tiles, fb_tiles,
+        fb_k)
 
 
 def trace_tile_exact(tsvo: TileSVO, o, d, corners, k_max=48, caps=None,

@@ -87,6 +87,21 @@ class TraceResult(NamedTuple):
     hit_node: object = None
 
 
+def vconst(ref, fill=0, dtype=None, shape=None, xp=jnp):
+    """Constant array inheriting ref's varying-manual-axes (vma) type.
+
+    Inside shard_map, jnp.zeros/full/arange create UNVARYING constants; when
+    such a constant initializes a while_loop carry that the loop body updates
+    to a varying value, the vma checker rejects the program — the reason the
+    parallel/ shard_maps used to opt out with check_vma=False. Deriving the
+    constant from a varying operand (zeros_like) keeps carry types
+    consistent, so checking can stay on. Works for numpy too (plain zeros)."""
+    z = xp.zeros_like(ref, dtype=dtype)
+    if shape is not None:
+        z = xp.broadcast_to(z.ravel()[:1].reshape((1,) * len(shape)), shape)
+    return z if fill == 0 else z + xp.asarray(fill, z.dtype)
+
+
 def init_state(origin, direction, depth, xp, root=None):
     """Vectorized traversal init (mirroring + cube entry), octree-local coords
     in [0,1]^3 mapped to the [1,2]^3 traversal cube (NVIDIASVO.compute:15-38)."""
@@ -121,16 +136,20 @@ def init_state(origin, direction, depth, xp, root=None):
     pos = xp.where(upper, f32(1.5), f32(1.0))
 
     S = depth
+    # constants derive from varying operands (vconst) so the traversal's
+    # while_loop carries stay vma-consistent under shard_map (see vconst)
+    zi = vconst(octant_mask, xp=xp)
+    zf = vconst(t_min, dtype=f32, xp=xp)
     if root is None:
-        parent0 = xp.zeros(n, i32)
+        parent0 = zi
     else:
-        parent0 = xp.broadcast_to(xp.asarray(root, i32), (n,))
+        parent0 = zi + xp.asarray(root, i32)
     return TraceState(
         pos=pos,
         idx=idx,
         parent=parent0,
-        scale=xp.full(n, S_MAX - 1, i32),
-        scale_exp2=xp.full(n, 0.5, f32),
+        scale=zi + i32(S_MAX - 1),
+        scale_exp2=zf + f32(0.5),
         t_min=t_min.astype(f32),
         t_max=t_max.astype(f32),
         h=t_max.astype(f32),
@@ -138,13 +157,13 @@ def init_state(origin, direction, depth, xp, root=None):
         t_coef=t_coef.astype(f32),
         t_bias=t_bias.astype(f32),
         done=miss,
-        hit_leaf=xp.full(n, -1, i32),
-        hit_t=xp.zeros(n, f32),
-        hit_parent=xp.full(n, -1, i32),  # -1 = no hit (matches hit_leaf)
-        hit_child=xp.zeros(n, i32),
-        stack_node=xp.zeros((S, n), i32),
-        stack_tmax=xp.zeros((S, n), f32),
-        iters=xp.zeros(n, i32),
+        hit_leaf=zi - 1,
+        hit_t=zf,
+        hit_parent=zi - 1,  # -1 = no hit (matches hit_leaf)
+        hit_child=zi,
+        stack_node=vconst(zi, shape=(S, n), xp=xp),
+        stack_tmax=vconst(zf, shape=(S, n), xp=xp),
+        iters=zi,
     )
 
 
@@ -516,21 +535,21 @@ def _trace_core(masks, child_base, leaf_base, parent_ptr, origin, direction,
     st = dict(
         pos=st0.pos, idx=st0.idx, parent=st0.parent, scale=st0.scale,
         t_min=st0.t_min, octant_mask=st0.octant_mask, t_coef=st0.t_coef,
-        t_bias=st0.t_bias, done=st0.done, popped=jnp.zeros(n, bool),
-        hit_parent=jnp.full(n, -1, jnp.int32),
+        t_bias=st0.t_bias, done=st0.done, popped=jnp.zeros_like(st0.done),
+        hit_parent=st0.hit_parent,
         hit_child=st0.hit_child, hit_t=st0.hit_t, iters=st0.iters,
     )
     n_max = max_iters_for_depth(depth)
 
     # output accumulators at full width; each phase scatters its terminated
     # rays back by original index
-    out_parent = jnp.full(n, -1, jnp.int32)
-    out_child = jnp.zeros(n, jnp.int32)
-    out_t = jnp.zeros(n, jnp.float32)
-    out_iters = jnp.zeros(n, jnp.int32)
-    orig = jnp.arange(n, dtype=jnp.int32)
+    out_parent = st0.hit_parent
+    out_child = jnp.zeros_like(st0.idx)
+    out_t = jnp.zeros_like(st0.hit_t)
+    out_iters = jnp.zeros_like(st0.iters)
+    orig = jnp.zeros_like(st0.idx) + jnp.arange(n, dtype=jnp.int32)
     st["orig"] = orig
-    st["base_iters"] = jnp.zeros(n, jnp.int32)
+    st["base_iters"] = jnp.zeros_like(st0.iters)
 
     widths = [n]
     w = n
@@ -579,7 +598,7 @@ def _trace_core(masks, child_base, leaf_base, parent_ptr, origin, direction,
             perm = jnp.argsort(st["done"])[:next_width]  # actives first
             st = _compact_take(st, perm)
             st["base_iters"] = st["base_iters"] + st["iters"]
-            st["iters"] = jnp.zeros(next_width, jnp.int32)
+            st["iters"] = jnp.zeros_like(st["base_iters"])
 
     # leaf resolution outside the loop
     hit = out_parent >= 0
@@ -675,12 +694,12 @@ def _trace_multi_core(masks, child_base, leaf_base, parent_ptr, origin,
     st = dict(
         pos=st0.pos, idx=st0.idx, parent=st0.parent, scale=st0.scale,
         t_min=st0.t_min, octant_mask=st0.octant_mask, t_coef=st0.t_coef,
-        t_bias=st0.t_bias, done=st0.done, popped=jnp.zeros(n, bool),
+        t_bias=st0.t_bias, done=st0.done, popped=jnp.zeros_like(st0.done),
         iters=st0.iters,
-        hits_leaf=jnp.full((k, n), -1, i32),
-        hits_tin=jnp.zeros((k, n), f32),
-        hits_tout=jnp.zeros((k, n), f32),
-        count=jnp.zeros(n, i32),
+        hits_leaf=vconst(st0.idx, -1, shape=(k, n)),
+        hits_tin=vconst(st0.hit_t, shape=(k, n)),
+        hits_tout=vconst(st0.hit_t, shape=(k, n)),
+        count=jnp.zeros_like(st0.idx),
     )
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (k, n), 0)
     # allow extra iterations for pass-through rays
@@ -802,9 +821,9 @@ def _trace_lod_core(masks, child_base, leaf_base, parent_ptr, origin,
     st = dict(
         pos=st0.pos, idx=st0.idx, parent=st0.parent, scale=st0.scale,
         t_min=st0.t_min, octant_mask=st0.octant_mask, t_coef=st0.t_coef,
-        t_bias=st0.t_bias, done=st0.done, popped=jnp.zeros(n, bool),
-        hit_parent=jnp.full(n, -1, jnp.int32), hit_child=st0.hit_child,
-        hit_t=st0.hit_t, hit_node=jnp.full(n, -1, jnp.int32),
+        t_bias=st0.t_bias, done=st0.done, popped=jnp.zeros_like(st0.done),
+        hit_parent=st0.hit_parent, hit_child=st0.hit_child,
+        hit_t=st0.hit_t, hit_node=st0.hit_parent,
         iters=st0.iters,
     )
     n_max = max_iters_for_depth(depth)

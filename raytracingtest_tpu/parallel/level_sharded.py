@@ -292,10 +292,15 @@ def make_sharded_trace(mesh, ls: LevelShardedSVO, max_octants=None):
                   P(RAY_AXIS, None), P(RAY_AXIS, None), P(RAY_AXIS, None),
                   P(), P()),
         out_specs=(P(), P(), P(), P()),
-        check_vma=False,
+        check_vma=True,
     )
     def _trace(trunk_m, trunk_c, trunk_l, oct_owner, oct_root, oct_leaf_off,
                oct_origin, arena_m3, arena_c3, arena_l3, o, d):
+        # rays are replicated but each device's trace results are device-
+        # local (they depend on the local arena shard): mark the ray inputs
+        # varying up front so every downstream carry is vma-consistent
+        o = jax.lax.pcast(o, RAY_AXIS, to="varying")
+        d = jax.lax.pcast(d, RAY_AXIS, to="varying")
         out_leaf, out_t, out_owner, truncated = _phase_loop_local(
             trunk_m, trunk_c, trunk_l, oct_owner, oct_root, oct_origin,
             arena_m3[0], arena_c3[0], arena_l3[0], o, d, trunk_depth,
@@ -310,6 +315,10 @@ def make_sharded_trace(mesh, ls: LevelShardedSVO, max_octants=None):
         out_leaf = jnp.where(any_owner, leaf_sum, -1)
         out_t = jax.lax.psum(jnp.where(has, out_t, 0.0), RAY_AXIS)
         out_owner = jax.lax.pmax(out_owner, RAY_AXIS)
+        # truncated is logically replicated (done depends only on psum'ed
+        # state) but the checker can't infer that; the psum also makes the
+        # "any device truncated" semantics explicit
+        truncated = jax.lax.psum(truncated.astype(jnp.int32), RAY_AXIS) > 0
         return out_leaf, out_t, out_owner, truncated
 
     return _trace
@@ -375,9 +384,11 @@ def _phase_loop_local(trunk_m, trunk_c, trunk_l, oct_owner, oct_root,
         r, _t, done, *_ = carry
         return (r < n_max) & jnp.any(~done)
 
-    carry = (jnp.int32(0), jnp.zeros(n, jnp.float32), jnp.zeros(n, bool),
-             jnp.full(n, -1, jnp.int32), jnp.zeros(n, jnp.float32),
-             jnp.full(n, -1, jnp.int32))
+    # ray-shaped carry constants derive from the (varying) ray inputs so the
+    # while_loop stays vma-consistent under shard_map (traverse.vconst)
+    zf = traverse.vconst(o[:, 0])
+    zi = zf.astype(jnp.int32)
+    carry = (jnp.int32(0), zf, zf != 0.0, zi - 1, zf, zi - 1)
     _, _, done, out_leaf, out_t, out_owner = jax.lax.while_loop(
         cond, body, carry)
     return out_leaf, out_t, out_owner, ~done
@@ -412,11 +423,14 @@ def make_sharded_fit_step(mesh, ls: LevelShardedSVO, max_octants=None,
                   P(), P(), P(), P()),
         out_specs=(P(), (P(RAY_AXIS, None, None), P(RAY_AXIS, None, None),
                          P(RAY_AXIS, None))),
-        check_vma=False,
+        check_vma=True,
     )
     def _step(alb3, nrm3, den3, trunk_m, trunk_c, trunk_l, oct_owner,
               oct_root, oct_origin, arena_m3, arena_c3, arena_l3, o, d,
               light_dir, target):
+        # replicated rays, device-local trace results (see make_sharded_trace)
+        o = jax.lax.pcast(o, RAY_AXIS, to="varying")
+        d = jax.lax.pcast(d, RAY_AXIS, to="varying")
         my_dev = jax.lax.axis_index(RAY_AXIS)
         out_leaf, out_t, out_owner, _truncated = _phase_loop_local(
             trunk_m, trunk_c, trunk_l, oct_owner, oct_root, oct_origin,
@@ -436,7 +450,7 @@ def make_sharded_fit_step(mesh, ls: LevelShardedSVO, max_octants=None,
         # part: the global loss is a disjoint sum over owners, so
         # d(global)/d(my params) == d(my part)/d(my params) exactly — no AD
         # through collectives (whose transpose is unreliable under
-        # check_vma=False).
+        # check_vma=True).
         def local_part(albedo, normal, density):
             alb = jnp.take(albedo[0], safe_leaf, axis=0)
             nrm = jnp.take(normal[0], safe_leaf, axis=0)
@@ -489,7 +503,7 @@ def make_exchange_trace(mesh, ls: LevelShardedSVO, max_rounds: int = 6,
                   P(RAY_AXIS, None), P(RAY_AXIS, None)),
         out_specs=(P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS), P(RAY_AXIS),
                    P(RAY_AXIS)),
-        check_vma=False,
+        check_vma=True,
     )
     def _trace(trunk_m, trunk_c, trunk_l, oct_owner, oct_root, oct_origin,
                arena_m3, arena_c3, arena_l3, o, d):

@@ -134,6 +134,56 @@ def _dense_cube(x, y, z, xp):
 _TERRAIN_L = 1.0 + _NOISE_AMP * _NOISE_FREQ * fbm3_lipschitz(octaves=2)
 _SIMPLEX_L = 1.0 + _NOISE_AMP * _NOISE_FREQ * NOISE3_LIPSCHITZ
 
+
+# ---------------------------------------------------------------------------
+# reference-parity scenes: numerically IDENTICAL to the reference's samplers
+# (OpenSimplex seed 7, SampleFunctions.cs:17), unlike the fast home-grown
+# noise above. The reference evaluates over its [1,2]^3 root cube; our local
+# frame is [0,1]^3, so coordinates shift by +1 to sample the same field.
+# ---------------------------------------------------------------------------
+
+_OS = None
+
+
+def _opensimplex():
+    global _OS
+    if _OS is None:
+        from raytracingtest_tpu.utils.opensimplex import OpenSimplex3D
+        _OS = OpenSimplex3D(7)
+    return _OS
+
+
+def _terrain_ref(x, y, z, xp):
+    # The reference's default render scene, bit-parity version ("Custom1",
+    # SampleFunctions.cs:40-47: y-1.5 + 0.5*n(3p) + 0.15*n(24p), p in [1,2]^3).
+    n = _opensimplex()
+    x = xp.asarray(x) + 1.0
+    y = xp.asarray(y) + 1.0
+    z = xp.asarray(z) + 1.0
+    r, r2 = 3.0, 24.0
+    out = (y - 1.5
+           + 0.5 * n.evaluate(x * r, y * r, z * r, xp=xp)
+           + 0.15 * n.evaluate(x * r2, y * r2, z * r2, xp=xp))
+    return out.astype(xp.float32) if xp is np else out
+
+
+def _simplex_ref(x, y, z, xp):
+    # The reference's raw "Simplex" sampler (SampleFunctions.cs:30-33)
+    # at a usable frequency: the reference's r=1132 yields pixel noise with
+    # no coherent surface; r=6 keeps the same field family and seed.
+    n = _opensimplex()
+    x = xp.asarray(x) + 1.0
+    y = xp.asarray(y) + 1.0
+    z = xp.asarray(z) + 1.0
+    out = n.evaluate(x * 6.0, y * 6.0, z * 6.0, xp=xp)
+    return out.astype(xp.float32) if xp is np else out
+
+
+def _ref_lipschitz():
+    from raytracingtest_tpu.utils.opensimplex import OPENSIMPLEX3_LIPSCHITZ
+    return OPENSIMPLEX3_LIPSCHITZ
+
+
 SCENES = {
     s.name: s
     for s in [
@@ -143,6 +193,9 @@ SCENES = {
         Scene("rotated_cuboid", _rotated_cuboid, 1.0),
         Scene("terrain", _terrain, _TERRAIN_L),
         Scene("dense_cube", _dense_cube, 1.0),
+        Scene("terrain_ref", _terrain_ref,
+              1.0 + (0.5 * 3.0 + 0.15 * 24.0) * 21.9),
+        Scene("simplex_ref", _simplex_ref, 6.0 * 21.9),
     ]
 }
 

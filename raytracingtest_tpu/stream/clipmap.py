@@ -390,6 +390,19 @@ class DeviceArena:
         n = len(spans)
         if n == 0:
             return 0
+        # the bounding range is tight only under append-like allocation;
+        # once the arena recycles slots, two small spans at opposite ends
+        # would otherwise trigger a near-full re-upload — group spans so no
+        # group's bounding range exceeds COALESCE_SLACK x its summed length
+        groups = self._coalesce(spans)
+        if len(groups) > 1:
+            total = 0
+            for g in groups:
+                self.arena.dirty = g
+                total += self.sync()
+            self.arena.dirty = spans
+            spans.clear()
+            return total
         n0 = min(s[0] for s in spans)
         n1 = max(s[0] + s[1] for s in spans)
         leaf_spans = [s for s in spans if s[3]]
@@ -422,6 +435,28 @@ class DeviceArena:
             jnp.int32(n0), jnp.int32(l0))
         spans.clear()
         return n
+
+    # bounding-range slack before sync splits spans into separate uploads
+    COALESCE_SLACK = 8
+
+    def _coalesce(self, spans):
+        """Greedy grouping of dirty spans by node offset: a span joins the
+        current group while the group's node bounding range stays within
+        COALESCE_SLACK x the summed span lengths (the single-dispatch fast
+        path covers the append-like common case; recycled-slot patterns
+        split into a few uploads instead of a near-full-arena one)."""
+        spans = sorted(spans, key=lambda s: s[0])
+        groups = [[spans[0]]]
+        lo, hi, tot = spans[0][0], spans[0][0] + spans[0][1], spans[0][1]
+        for s in spans[1:]:
+            nhi = max(hi, s[0] + s[1])
+            if (nhi - lo) <= self.COALESCE_SLACK * (tot + s[1]):
+                groups[-1].append(s)
+                hi, tot = nhi, tot + s[1]
+            else:
+                groups.append([s])
+                lo, hi, tot = s[0], s[0] + s[1], s[1]
+        return groups
 
 
 @partial(jax.jit, static_argnames=("trunk_depth", "chunk_depth",

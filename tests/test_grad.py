@@ -139,3 +139,21 @@ def test_density_gradient_flows(setup):
     f = _loss_fn(svo, o, d, target)
     g_den = np.asarray(jax.grad(f, argnums=2)(albedo, normal, density))
     assert np.abs(g_den).max() > 0.0
+
+
+def test_segment_reduce_matches_rank1_at_scale():
+    """The round-4 seg backward (sort+cumsum+boundary-gather) must agree
+    with the serialized rank-1 scatter-adds up to f32 reassociation at a
+    row count that actually takes the seg path (>= SEG_MIN_ROWS)."""
+    from raytracingtest_tpu.diff import _segment_reduce_cols, SEG_MIN_ROWS
+    rng = np.random.default_rng(5)
+    n = max(SEG_MIN_ROWS, 1 << 16)
+    m = 40_000
+    ids = jnp.asarray(rng.integers(0, m, n, dtype=np.int32))
+    cols = jnp.asarray(rng.random((n, 7), dtype=np.float32) - 0.5)
+    seg = _segment_reduce_cols(ids, cols, m)
+    rank1 = jnp.stack(
+        [jnp.zeros(m, jnp.float32).at[ids].add(cols[:, j])
+         for j in range(7)], axis=1)
+    np.testing.assert_allclose(np.asarray(seg), np.asarray(rank1),
+                               rtol=1e-4, atol=2e-5)
