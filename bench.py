@@ -46,7 +46,7 @@ def main():
     depth = int(os.environ.get("BENCH_DEPTH", "10"))
     res_px = int(os.environ.get("BENCH_RES", "1024"))
     scene = os.environ.get("BENCH_SCENE", "terrain")
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "16"))
     mode = os.environ.get("BENCH_MODE", "fwdbwd")
     # tile  = the production tile-amortized traversal (ops/tile.py)
     # brick = the per-ray gather-light brick traversal (ops/brick.py)
@@ -198,18 +198,44 @@ def main():
         acc += run(zero * i)
     dt = (time.time() - t0) / iters
     rays_per_s = n_rays / dt
-
     print(f"# steady-state: {dt*1e3:.1f} ms/iter at {res_px}x{res_px}",
           file=sys.stderr)
-    print(json.dumps({
+
+    # forward-only companion number in the same session (bench hygiene:
+    # both numbers + fraction of the measured ~300 Mrows/s single-chip
+    # gather ceiling, PROFILE.md)
+    fwd_rays_per_s = None
+    if mode == "fwdbwd" and use_tile:
+        def run_fwd(tag):
+            img, residual = diff.render_diff_tile(
+                albedo, normal, density, tsvo, o_t, d_t, corners,
+                light + tag, k_max=tile_k)
+            return float(jnp.sum(img) + residual)
+        run_fwd(zero)
+        t0 = time.time()
+        for i in range(iters):
+            run_fwd(zero * i)
+        dt_f = (time.time() - t0) / iters
+        fwd_rays_per_s = n_rays / dt_f
+        print(f"# steady-state fwd: {dt_f*1e3:.1f} ms/iter", file=sys.stderr)
+
+    out = {
         "metric": f"rays_per_s_{mode}_{res_px}px_depth{depth}",
         "value": rays_per_s,
         "unit": "rays/s",
         "vs_baseline": rays_per_s / 2.0e9,
+        "mrays_per_s": round(rays_per_s / 1e6, 2),
+        "frac_gather_ceiling": round(rays_per_s / 300e6, 4),
+        "iters": iters,
         "build_seconds": round(build_s, 2),
         "build_source": ("device" if build_mode == "device" else
                          "cache" if cached else "host"),
-    }))
+    }
+    if fwd_rays_per_s is not None:
+        out["fwd_rays_per_s"] = round(fwd_rays_per_s)
+        out["fwd_mrays_per_s"] = round(fwd_rays_per_s / 1e6, 2)
+        out["fwdbwd_over_fwd"] = round(fwd_rays_per_s / rays_per_s, 2)
+    print(json.dumps(out))
 
 
 def _main_multihost(mh):

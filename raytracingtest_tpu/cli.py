@@ -175,6 +175,88 @@ def cmd_fit(args):
     print(f"saved {args.out_dir}/fit_state.npz", file=sys.stderr)
 
 
+def cmd_fly(args):
+    """Main-scene integration (the reference's Main.unity loop): a fly
+    camera drives per-frame clipmap updates into the preallocated device
+    arenas, rendered by the stitched brick-path traversal — update -> sync
+    -> render every frame, with per-phase timings logged
+    (GhostFreeRoamCamera.cs + Clipmap.cs:45-138 + RaytracingMaster.cs:55-74
+    behavior, TPU-native)."""
+    import jax.numpy as jnp
+
+    from raytracingtest_tpu import diff
+    from raytracingtest_tpu.ops.camera import Camera
+    from raytracingtest_tpu.scenes import get_scene
+    from raytracingtest_tpu.stream.clipmap import (
+        Arena, BrickArena, Clipmap, DeviceArena, DeviceBrickArena,
+        trace_clipmap_device_brick)
+
+    scene = get_scene(args.scene)
+    arena = Arena(node_capacity=args.arena_nodes,
+                  leaf_capacity=args.arena_leaves)
+    barena = BrickArena(top_capacity=args.arena_nodes,
+                        brick_capacity=args.arena_leaves // 2)
+    clip = Clipmap(scene, arena, min_chunk_size=args.min_chunk,
+                   radius=args.radius, lods=args.lods,
+                   chunk_depth=args.chunk_depth, brick_arena=barena)
+    dev = DeviceArena(arena)
+    devb = DeviceBrickArena(barena)
+    light = jnp.asarray([-0.5, -1.0, -0.3], jnp.float32)
+
+    # fly path: a lateral sweep above the terrain looking ahead/down
+    frames = []
+    os.makedirs(args.out_dir, exist_ok=True)
+    res = args.resolution
+    stats_total = {"update_ms": 0.0, "sync_ms": 0.0, "render_ms": 0.0}
+    for f in range(args.frames):
+        u = f / max(args.frames - 1, 1)
+        # sweep across the world, always looking down into the terrain
+        pos = np.array([0.18 + 0.55 * u, 0.72, 0.12 + 0.2 * u])
+        look = np.array([0.5 + 0.3 * (u - 0.5), 0.3, 0.6])
+
+        t0 = time.time()
+        st = clip.update(pos)
+        t_update = time.time() - t0
+
+        t0 = time.time()
+        ns = dev.sync()
+        nb = devb.sync()
+        t_sync = time.time() - t0
+
+        trunk, roots, origins, sizes = clip.master_brick()
+        cam = Camera(position=tuple(pos), look_at=tuple(look),
+                     fov_y_deg=55.0, width=res, height=res)
+        o, d = cam.rays(np)
+        t0 = time.time()
+        leaf, t_hit, chunk_id, _trunc = trace_clipmap_device_brick(
+            trunk, tuple(clip.octree.root.position), clip.octree.root.size,
+            roots, origins, sizes, args.chunk_depth, devb, o, d)
+        img = diff.shade_diff(leaf, jnp.asarray(d), dev.leaf_albedo,
+                              dev.leaf_normal, dev.leaf_density, light,
+                              1.3, 0.08)
+        img = np.asarray(img).reshape(res, res, 3)
+        t_render = time.time() - t0
+
+        stats_total["update_ms"] += t_update * 1e3
+        stats_total["sync_ms"] += t_sync * 1e3
+        stats_total["render_ms"] += t_render * 1e3
+        print(f"frame {f:3d}  update {t_update*1e3:7.1f} ms "
+              f"(+{st['added']}/-{st['evicted']} chunks, "
+              f"{st['resident']} resident)  sync {t_sync*1e3:6.1f} ms "
+              f"({ns}+{nb} spans)  render {t_render*1e3:7.1f} ms",
+              file=sys.stderr)
+        frames.append(img)
+        if args.save_frames:
+            _save_png(img, os.path.join(args.out_dir, f"fly_{f:03d}.png"))
+
+    strip = np.concatenate(frames[:: max(len(frames) // 8, 1)], axis=1)
+    _save_png(strip, os.path.join(args.out_dir, "fly_strip.png"))
+    n = args.frames
+    print(f"avg/frame: update {stats_total['update_ms']/n:.1f} ms  "
+          f"sync {stats_total['sync_ms']/n:.1f} ms  "
+          f"render {stats_total['render_ms']/n:.1f} ms", file=sys.stderr)
+
+
 def cmd_info(args):
     svo = _load_or_build(args.scene, args.depth, args.cache_dir)
     print(f"scene={args.scene} depth={svo.depth}")
@@ -250,6 +332,21 @@ def main(argv=None):
     pf.add_argument("--seed", type=int, default=0)
     pf.add_argument("--out-dir", default="/tmp/rtt_fit")
     pf.set_defaults(fn=cmd_fit)
+
+    pfly = sub.add_parser("fly", help="flythrough: streaming clipmap world "
+                          "rendered per frame (Main scene)")
+    pfly.add_argument("--scene", default="terrain")
+    pfly.add_argument("--frames", type=int, default=16)
+    pfly.add_argument("--resolution", type=int, default=256)
+    pfly.add_argument("--min-chunk", type=float, default=0.25)
+    pfly.add_argument("--radius", type=int, default=2)
+    pfly.add_argument("--lods", type=int, default=2)
+    pfly.add_argument("--chunk-depth", type=int, default=5)
+    pfly.add_argument("--arena-nodes", type=int, default=2_000_000)
+    pfly.add_argument("--arena-leaves", type=int, default=4_000_000)
+    pfly.add_argument("--save-frames", action="store_true")
+    pfly.add_argument("--out-dir", default="/tmp/rtt_fly")
+    pfly.set_defaults(fn=cmd_fly)
 
     pi = sub.add_parser("info", help="print SVO statistics")
     pi.add_argument("--scene", default="terrain")

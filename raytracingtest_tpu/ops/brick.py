@@ -490,10 +490,14 @@ def _chunked(n):
 
 
 def _trace_brick_core(top_masks, top_child, top_parent, bricks, origin,
-                      direction, depth, top_depth, lod=None):
+                      direction, depth, top_depth, lod=None, root=None):
+    """root (optional, (N,) i32): per-ray top-tree root row — the arena /
+    clipmap stitching hook (each ray traces its own chunk's subtree, the
+    role of the reference's offset-addressed chunk blocks,
+    RaytracingMaster.cs:118-135)."""
     i32 = jnp.int32
     nodes_packed = jnp.stack([top_masks, top_child, top_parent], axis=1)
-    st0 = init_state(origin, direction, top_depth, jnp)
+    st0 = init_state(origin, direction, top_depth, jnp, root=root)
     n = origin.shape[0]
     st = dict(
         pos=st0.pos, idx=st0.idx, parent=st0.parent, scale=st0.scale,

@@ -62,6 +62,8 @@ _SENTINEL = np.int32(2**31 - 1)
 import os as _os  # noqa: E402
 TILE_WALKER = _os.environ.get("RTT_TILE_WALKER", "window")
 TILE_WIN = int(_os.environ.get("RTT_TILE_WIN", "4"))
+TILE_LOADS = int(_os.environ.get("RTT_TILE_LOADS", "2"))
+TILE_SKIPS = int(_os.environ.get("RTT_TILE_SKIPS", "3"))
 
 
 def _walk_chunk(st, codes, ids, t_codes, bricks, depth, top_depth, k_max,
@@ -75,7 +77,8 @@ def _walk_chunk(st, codes, ids, t_codes, bricks, depth, top_depth, k_max,
         return hl, ht, it, jnp.zeros_like(st["miss0"])
     return _walk_chunk_window(st, codes, ids, t_codes, bricks, depth,
                               top_depth, k_max, dda_unroll=dda_unroll,
-                              win=TILE_WIN)
+                              win=TILE_WIN, loads=TILE_LOADS,
+                              skips=TILE_SKIPS)
 
 
 # ---------------------------------------------------------------------------
@@ -398,7 +401,7 @@ def _sel16b(words, w):
 
 
 def _walk_chunk_window(st, codes, ids, t_codes, bricks, depth, top_depth,
-                       k_max, dda_unroll=6, win=8):
+                       k_max, dda_unroll=6, win=4, loads=2, skips=3):
     """Fused candidate walk with PER-RAY cursors and a rotating per-tile
     candidate window (the round-4 forward hot path).
 
@@ -458,84 +461,105 @@ def _walk_chunk_window(st, codes, ids, t_codes, bricks, depth, top_depth,
     slot_iota = jnp.arange(win, dtype=i32)[None, :]          # (1,win)
 
     def body(c):
-        # ---- per-tile rotating load: stream candidate `base` into slot
-        # base % win, provided no active ray still needs the candidate the
-        # slot currently holds (min active cursor >= base - win + 1) ----
+        # ---- per-tile rotating loads: stream up to `loads` candidates per
+        # iteration into the win-slot buffer. Loads are (Tc,)-cheap next to
+        # the (Tc,P)-wide ray work, and streaming several per iteration
+        # keeps high-K tiles fed while their rays skip-scan. A slot is only
+        # overwritten once no active ray can still need it (min active
+        # cursor >= base - win + 1) ----
         act = ~c["fin"]
         m = jnp.min(jnp.where(act, c["cur"], k_max), axis=1)     # (Tc,)
-        can_load = ((m >= c["base"] - (win - 1)) & ~c["list_end"]
-                    & (c["base"] < k_max) & jnp.any(act, axis=1))
-        kk = jnp.minimum(c["base"], k_max - 1)[:, None]
-        id_k = jnp.take_along_axis(ids, kk, axis=1)[:, 0]
-        code_k = jnp.take_along_axis(codes, kk, axis=1)[:, 0]
-        tlb_k = jnp.take_along_axis(t_codes, kk, axis=1)[:, 0]
-        nwords = jnp.take(bricks, jnp.maximum(id_k, 0), axis=0)[:, :16]
-        slot = (c["base"] & (win - 1))[:, None]                  # (Tc,1)
-        sm = (slot_iota == slot) & can_load[:, None]             # (Tc,win)
-        win_words = jnp.where(sm[..., None], nwords[:, None, :],
-                              c["win_words"])
-        win_bid = jnp.where(sm, id_k[:, None], c["win_bid"])
-        win_code = jnp.where(sm, code_k[:, None], c["win_code"])
-        win_tlb = jnp.where(sm, jnp.where(id_k >= 0, tlb_k, jnp.inf)[:, None],
-                            c["win_tlb"])
-        base = c["base"] + can_load.astype(i32)
-        list_end = c["list_end"] | (can_load & (id_k < 0))
+        any_act = jnp.any(act, axis=1)
+        base, list_end = c["base"], c["list_end"]
+        win_words, win_bid = c["win_words"], c["win_bid"]
+        win_code, win_tlb = c["win_code"], c["win_tlb"]
+        for _ in range(loads):
+            can_load = ((m >= base - (win - 1)) & ~list_end
+                        & (base < k_max) & any_act)
+            kk = jnp.minimum(base, k_max - 1)[:, None]
+            id_k = jnp.take_along_axis(ids, kk, axis=1)[:, 0]
+            code_k = jnp.take_along_axis(codes, kk, axis=1)[:, 0]
+            tlb_k = jnp.take_along_axis(t_codes, kk, axis=1)[:, 0]
+            nwords = jnp.take(bricks, jnp.maximum(id_k, 0), axis=0)[:, :16]
+            sm = ((slot_iota == (base & (win - 1))[:, None])
+                  & can_load[:, None])                           # (Tc,win)
+            win_words = jnp.where(sm[..., None], nwords[:, None, :],
+                                  win_words)
+            win_bid = jnp.where(sm, id_k[:, None], win_bid)
+            win_tlb = jnp.where(
+                sm, jnp.where(id_k >= 0, tlb_k, jnp.inf)[:, None], win_tlb)
+            win_code = jnp.where(sm, code_k[:, None], win_code)
+            base = base + can_load.astype(i32)
+            list_end = list_end | (can_load & (id_k < 0))
 
-        # ---- per-ray init/advance: rays not walking evaluate their cursor
-        # candidate once its slot is loaded ----
-        in_win = (c["cur"] < base[:, None]) & (
-            c["cur"] >= base[:, None] - win)
-        ready = ~c["walking"] & ~c["fin"] & in_win
-        rs = c["cur"] & (win - 1)                                # (Tc,P)
-        # win-way masked selects on (Tc,P) operands (no (Tc,P,win)
-        # materialization)
-        r_bid = jnp.full_like(rs, -1)
-        r_code = jnp.zeros_like(rs)
-        r_tlb = jnp.full_like(c["t_cur"], jnp.inf)
-        for j in range(win):
-            mj = rs == j
-            r_bid = jnp.where(mj, win_bid[:, j, None], r_bid)
-            r_code = jnp.where(mj, win_code[:, j, None], r_code)
-            r_tlb = jnp.where(mj, win_tlb[:, j, None], r_tlb)
+        # ---- per-ray skip-scan: non-walking rays evaluate up to `skips`
+        # cursor candidates per iteration. Cheap reject (no box
+        # intersection, or can't beat the current hit) advances the cursor;
+        # the first accept is captured for the expensive entry init below.
+        # The cap check must NOT require the slot to be loaded: on a
+        # saturated list (no sentinel) cur == k_max == base is never
+        # in-window and would deadlock ----
+        fin = c["fin"]
+        cur = c["cur"]
+        entered = c["walking"] & ~c["walking"]                   # all-False
+        e_pos = c["bpos"]
+        e_tin = c["t_cur"]
+        e_bid = c["cur_bid"]
+        e_rs = jnp.zeros_like(cur)
+        for _ in range(skips):
+            scan = ~c["walking"] & ~fin & ~entered
+            in_win = (cur < base[:, None]) & (cur >= base[:, None] - win)
+            ready = scan & in_win
+            rs = cur & (win - 1)                                 # (Tc,P)
+            # win-way masked selects on (Tc,P) operands (no (Tc,P,win)
+            # materialization)
+            r_bid = jnp.full_like(rs, -1)
+            r_code = jnp.zeros_like(rs)
+            r_tlb = jnp.full_like(c["t_cur"], jnp.inf)
+            for j in range(win):
+                mj = rs == j
+                r_bid = jnp.where(mj, win_bid[:, j, None], r_bid)
+                r_code = jnp.where(mj, win_code[:, j, None], r_code)
+                r_tlb = jnp.where(mj, win_tlb[:, j, None], r_tlb)
 
-        # finished: nothing later can beat the current hit (list ascending),
-        # list exhausted, or cursor past the cap. The cap check must NOT
-        # require the slot to be loaded: on a saturated list (no sentinel)
-        # cur == k_max == base is never in-window and would deadlock
-        fin_over = ~c["walking"] & ~c["fin"] & (c["cur"] >= k_max)
-        fin_now = (ready & ((r_tlb >= c["hit_t"]) | (r_bid < 0))) | fin_over
-        fin = c["fin"] | fin_now
-        try_init = ready & ~fin_now
+            fin_over = scan & (cur >= k_max)
+            fin_now = (ready & ((r_tlb >= c["hit_t"]) | (r_bid < 0))) \
+                | fin_over
+            fin = fin | fin_now
+            try_init = ready & ~fin_now
 
-        pos_b = _mirrored_brick_corner(r_code, om, top_depth)    # (Tc,P,3)
-        t_hi = (pos_b + bsize) * t_coef - t_bias
-        t_lo = pos_b * t_coef - t_bias
-        t_in = jnp.maximum(jnp.max(t_hi, axis=-1), st["t0"])
-        t_out = jnp.min(t_lo, axis=-1)
-        enter = try_init & (t_in < t_out) & (t_in < c["hit_t"])
-        skip = try_init & ~enter
+            pos_b = _mirrored_brick_corner(r_code, om, top_depth)
+            t_hi = (pos_b + bsize) * t_coef - t_bias
+            t_lo = pos_b * t_coef - t_bias
+            t_in = jnp.maximum(jnp.max(t_hi, axis=-1), st["t0"])
+            t_out = jnp.min(t_lo, axis=-1)
+            enter_now = try_init & (t_in < t_out) & (t_in < c["hit_t"])
+            cur = cur + (try_init & ~enter_now).astype(i32)
+            entered = entered | enter_now
+            e_pos = jnp.where(enter_now[..., None], pos_b, e_pos)
+            e_tin = jnp.where(enter_now, t_in, e_tin)
+            e_bid = jnp.where(enter_now, r_bid, e_bid)
+            e_rs = jnp.where(enter_now, rs, e_rs)
 
-        # entry descent: brick corner -> entry voxel (exact ESVO planes)
-        nbpos = pos_b
+        # ---- expensive entry init, once per iteration for entered rays:
+        # 3-level ESVO plane descent to the entry voxel + brick-word
+        # staging into the per-ray cache ----
+        nbpos = e_pos
         for l in range(1, BRICK_LEVELS + 1):
             half = f32(bsize * 2.0 ** -l)
             t_center = half * t_coef + (nbpos * t_coef - t_bias)
-            upper = t_center > t_in[..., None]
+            upper = t_center > e_tin[..., None]
             nbpos = nbpos + jnp.where(upper, half, f32(0.0))
 
-        # stage the entered brick's words into the per-ray cache: win-way
-        # masked select on (Tc,P,16) operands, once per iteration, so the
-        # per-step word select stays the cheap 16-way chain
         rwords = c["rwords"]
         for j in range(win):
-            mj = (enter & (rs == j))[..., None]                  # (Tc,P,1)
+            mj = (entered & (e_rs == j))[..., None]              # (Tc,P,1)
             rwords = jnp.where(mj, win_words[:, None, j, :], rwords)
 
-        cur = c["cur"] + skip.astype(i32)
-        walking = c["walking"] | enter
-        bpos = jnp.where(enter[..., None], nbpos, c["bpos"])
-        t_cur = jnp.where(enter, t_in, c["t_cur"])
-        cur_bid = jnp.where(enter, r_bid, c["cur_bid"])
+        walking = c["walking"] | entered
+        bpos = jnp.where(entered[..., None], nbpos, c["bpos"])
+        t_cur = jnp.where(entered, e_tin, c["t_cur"])
+        cur_bid = jnp.where(entered, e_bid, c["cur_bid"])
 
         # ---- dda_unroll exact DDA steps (masked by walking) ----
         hit_bid, hit_idx9, hit_t = c["hit_bid"], c["hit_idx9"], c["hit_t"]
@@ -580,7 +604,7 @@ def _walk_chunk_window(st, codes, ids, t_codes, bricks, depth, top_depth,
     # loads, inits, steps, or finishes someone), but a bound keeps any
     # unforeseen stall from hanging a device; bailed rays are REPORTED via
     # the unfin mask (folded into unresolved — never silent)
-    n_max = k_max * (2 + (3 * 8 + 2) // dda_unroll) + win + 64
+    n_max = k_max * (2 + (3 * 8 + 2) // dda_unroll) + win + loads + 64
 
     def cond(ic):
         i, c = ic
@@ -590,8 +614,12 @@ def _walk_chunk_window(st, codes, ids, t_codes, bricks, depth, top_depth,
         i, c = ic
         return i + 1, body(c)
 
-    _, carry = jax.lax.while_loop(cond, body_i, (jnp.int32(0), carry))
+    trips, carry = jax.lax.while_loop(cond, body_i, (jnp.int32(0), carry))
     hit_leaf, hit_t, iters = _resolve_hits(carry, bricks, Tc, P)
+    if _os.environ.get("RTT_TILE_DEBUG_TRIPS"):
+        # diagnostics: report the chunk's while-loop trip count instead of
+        # per-ray DDA iters (scratch probes only)
+        iters = jnp.broadcast_to(trips, iters.shape)
     unfin = ~carry["fin"] | carry["walking"]
     return hit_leaf, hit_t, iters, unfin
 

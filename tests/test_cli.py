@@ -83,3 +83,19 @@ def test_roofline_and_iter_stats():
     assert r["rays_per_s_ceiling"] > 1e8  # the hardware bound is far above us
     s = iter_stats(np.array([10, 20, 30, 100]))
     assert s["max"] == 100 and s["p50"] <= s["p99"]
+
+
+def test_cli_fly_smoke(tmp_path):
+    """Main-scene flythrough: update -> sync -> render frames end to end."""
+    from raytracingtest_tpu import cli
+    out = tmp_path / "fly"
+    cli.main(["fly", "--scene", "sphere", "--frames", "3",
+              "--resolution", "32", "--chunk-depth", "4", "--lods", "1",
+              "--radius", "2", "--min-chunk", "0.25",
+              "--arena-nodes", "400000", "--arena-leaves", "400000",
+              "--out-dir", str(out)])
+    import numpy as np
+    from PIL import Image
+    strip = np.asarray(Image.open(out / "fly_strip.png"))
+    assert strip.shape[0] == 32 and strip.shape[1] >= 64
+    assert np.isfinite(strip).all()

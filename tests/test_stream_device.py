@@ -91,3 +91,40 @@ def test_device_arena_sync_incremental():
     np.testing.assert_array_equal(np.asarray(dev.leaf_base), arena.leaf_base)
     np.testing.assert_allclose(np.asarray(dev.leaf_albedo),
                                arena.leaf_albedo)
+
+
+def test_brick_arena_walk_matches_plain_device_path():
+    """The streamed world on the HOT path: phase-2 brick traversal over the
+    BrickArena must produce hits bit-identical to the plain device path
+    (same arena leaf ids, same t), across updates with eviction."""
+    from raytracingtest_tpu.stream.clipmap import (
+        BrickArena, DeviceBrickArena, trace_clipmap_device_brick)
+    scene = get_scene("sphere")
+    arena = Arena(node_capacity=300000, leaf_capacity=300000)
+    barena = BrickArena(top_capacity=100000, brick_capacity=150000)
+    clip = Clipmap(scene, arena, min_chunk_size=0.25, radius=4, lods=1,
+                   chunk_depth=4, brick_arena=barena)
+    dev = DeviceArena(arena)
+    devb = DeviceBrickArena(barena)
+
+    for step, cam in enumerate([(0.5, 0.5, 0.5), (0.26, 0.5, 0.5),
+                                (0.74, 0.74, 0.26)]):
+        clip.update(cam)
+        dev.sync()
+        nb = devb.sync()
+        trunk, roots, origins, sizes = clip.master()
+        trunkb, rootsb, originsb, sizesb = clip.master_brick()
+        np.testing.assert_array_equal(origins, originsb)
+
+        o, d = _rays_toward((0.5, 0.5, 0.5), n=256, seed=step)
+        leaf_dev, t_dev, chunk_dev, _ = trace_clipmap_device(
+            trunk, (0, 0, 0), clip.octree.root.size, roots, origins, sizes,
+            4, dev, o, d, max_chunks=14)
+        leaf_b, t_b, chunk_b, _ = trace_clipmap_device_brick(
+            trunkb, (0, 0, 0), clip.octree.root.size, rootsb, originsb,
+            sizesb, 4, devb, o, d, max_chunks=14)
+        np.testing.assert_array_equal(np.asarray(leaf_dev),
+                                      np.asarray(leaf_b))
+        np.testing.assert_allclose(np.asarray(t_dev), np.asarray(t_b),
+                                   rtol=1e-6, atol=1e-6)
+        assert (np.asarray(leaf_b) >= 0).sum() > 50
