@@ -173,7 +173,7 @@ def render_tile_sharded(mesh, albedo, normal, density, tsvo, o, d, corners,
 
 
 def make_train_step_tile(mesh, optimizer, k_max=96, chunk_tiles=256,
-                         fb_tiles=256, fb_k=256):
+                         fb_tiles=256, fb_k=256, overlap_groups=1):
     """Sharded train step on the tile hot path: tiles sharded over the
     mesh, voxel-parameter grads psum'ed. Hits are bit-identical to the
     plain/brick paths, so the whole optimization trajectory coincides
@@ -183,7 +183,15 @@ def make_train_step_tile(mesh, optimizer, k_max=96, chunk_tiles=256,
     psum'ed count of rays whose hits are still cap-limited after the
     enlarged-K re-walk (their loss/grad contributions use inexact hits).
     It is exactly 0 in normal operation; training drivers must check it
-    (VERDICT r03 weak 3 — no silent ray loss in training)."""
+    (VERDICT r03 weak 3 — no silent ray loss in training).
+
+    overlap_groups > 1 chunks the backward over tile groups and launches
+    each group's gradient psum as soon as that group's backward finishes:
+    group i's all-reduce has no data dependency on group i+1's compute, so
+    the XLA scheduler can run the ICI collective under the remaining
+    backward work (config 5's overlapped gradient all-reduce; trace
+    evidence: scratch/r4_overlap.py + PROFILE.md). Group losses/grads sum
+    to exactly the ungrouped values (disjoint ray partition)."""
     from raytracingtest_tpu import diff as diff_mod
 
     def local_loss(params, tsvo, o_s, d_s, corners_s, light_dir, target_s,
@@ -203,11 +211,29 @@ def make_train_step_tile(mesh, optimizer, k_max=96, chunk_tiles=256,
     )
     def _loss_grads(params, tsvo, o_s, d_s, corners_s, light_dir, target_s):
         n_total = target_s.size * jax.lax.psum(1, RAY_AXIS)
-        (loss, residual), grads = jax.value_and_grad(
-            local_loss, has_aux=True)(
-            params, tsvo, o_s, d_s, corners_s, light_dir, target_s, n_total)
-        grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(g, RAY_AXIS), grads)
+        T = o_s.shape[0]
+        groups = overlap_groups if overlap_groups > 1 and             T % overlap_groups == 0 else 1
+        gsz = T // groups
+        ppx = target_s.shape[0] // T                 # rays per tile
+        vg = jax.value_and_grad(local_loss, has_aux=True)
+        loss = residual = None
+        grads = None
+        for i in range(groups):
+            ts = slice(i * gsz, (i + 1) * gsz)
+            rs = slice(i * gsz * ppx, (i + 1) * gsz * ppx)
+            (li, ri), gi = vg(params, tsvo, o_s[ts], d_s[ts],
+                              corners_s[ts], light_dir, target_s[rs],
+                              n_total)
+            # per-group all-reduce: launched while later groups' backward
+            # still computes (no data dependency)
+            gi = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, RAY_AXIS), gi)
+            if grads is None:
+                loss, residual, grads = li, ri, gi
+            else:
+                loss = loss + li
+                residual = residual + ri
+                grads = jax.tree_util.tree_map(jnp.add, grads, gi)
         loss = jax.lax.psum(loss, RAY_AXIS)
         residual = jax.lax.psum(residual, RAY_AXIS)
         return loss, grads, residual

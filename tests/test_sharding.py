@@ -278,3 +278,43 @@ def test_tile_train_step_adversarial_caps_matches_brick():
     for k in params:
         np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p2[k]),
                                    atol=1e-6)
+
+
+def test_tile_train_step_overlap_groups_matches_ungrouped():
+    """overlap_groups chunks the backward + per-group psum; losses/grads
+    must equal the ungrouped step exactly (disjoint ray partition)."""
+    import raytracingtest_tpu as rt
+    from raytracingtest_tpu.ops import tile as tile_mod
+    from raytracingtest_tpu.parallel.render_sharded import (
+        make_train_step_tile)
+    from raytracingtest_tpu.ops.camera import Camera
+
+    res = rt.build_svo(rt.get_scene("terrain"), 6)
+    tsvo = tile_mod.make_tile_svo(res.svo).device()
+    cam = Camera(position=(0.5, 0.85, -0.6), look_at=(0.5, 0.4, 0.5),
+                 fov_y_deg=50.0, width=64, height=64)
+    o, d, corners, grid = tile_mod.tile_rays(cam, np, tile_px=16)
+    light = jnp.asarray([-0.5, -1.0, -0.3], jnp.float32)
+    n = o.shape[0] * o.shape[1]
+    target = jnp.zeros((n, 3), jnp.float32)
+    params = {
+        "albedo": jnp.asarray(res.svo.leaf_albedo),
+        "normal": jnp.asarray(res.svo.leaf_normal),
+        "density": jnp.asarray(res.svo.leaf_density),
+    }
+    mesh = make_mesh()
+    opt = optax.adam(1e-2)
+    st = opt.init(params)
+    args = (params, st, tsvo, jnp.asarray(o), jnp.asarray(d),
+            jnp.asarray(corners), light, target)
+    s1 = make_train_step_tile(mesh, opt, chunk_tiles=2, fb_tiles=16,
+                              fb_k=512)
+    s2 = make_train_step_tile(mesh, opt, chunk_tiles=1, fb_tiles=16,
+                              fb_k=512, overlap_groups=2)
+    p1, _, l1, r1 = s1(*args)
+    p2, _, l2, r2 = s2(*args)
+    assert int(r1) == 0 and int(r2) == 0
+    assert abs(float(l1) - float(l2)) < 1e-6
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p2[k]),
+                                   atol=1e-6)
