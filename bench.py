@@ -109,26 +109,31 @@ def main():
     target = jnp.zeros((o.shape[0], 3), jnp.float32)
     n_rays = o.shape[0]
 
-    # each run() ends in a host transfer of a value that depends on every
-    # output — block_until_ready alone is not a reliable fence on the
-    # experimental axon backend
+    # each run() returns a device scalar that depends on every output; the
+    # timing loop issues all iterations and fences once at the end
+    # (pipelined sustained throughput — the dispatch+fence round trip on
+    # this tunnel is ~25 ms flat and overlaps device compute when several
+    # frames are in flight; block_until_ready alone is not a reliable
+    # fence on the experimental axon backend)
     if use_tile:
         target_t = jnp.zeros((o.shape[0], 3), jnp.float32)
         tile_k = int(os.environ.get("BENCH_TILE_K", "96"))
+        tile_fbt = int(os.environ.get("BENCH_FBT", "96"))
         if mode == "fwd":
             def run(tag):
                 img, residual = diff.render_diff_tile(
                     albedo, normal, density, tsvo, o_t, d_t, corners,
-                    light + tag, k_max=tile_k)
-                return float(jnp.sum(img) + residual)
+                    light + tag, k_max=tile_k, fb_tiles=tile_fbt)
+                return jnp.sum(img) + residual
         else:
             def run(tag):
                 (loss, residual), grads = diff.loss_and_grads_tile(
                     albedo, normal, density, tsvo, o_t, d_t, corners,
-                    light + tag, target_t, k_max=tile_k)
+                    light + tag, target_t, k_max=tile_k,
+                    fb_tiles=tile_fbt)
                 gsum = sum(jnp.sum(jnp.abs(g))
                            for g in jax.tree_util.tree_leaves(grads))
-                return float(loss + gsum + residual)
+                return loss + gsum + residual
     elif use_brick:
         if mode == "fwd":
             def run(tag):
@@ -136,7 +141,7 @@ def main():
                     albedo, normal, density, bsvo.top_masks, bsvo.top_child,
                     bsvo.top_parent, bsvo.bricks, o, d, depth,
                     bsvo.top_depth, light + tag)
-                return float(jnp.sum(img))
+                return jnp.sum(img)
         else:
             def run(tag):
                 loss, grads = diff.loss_and_grads_brick(
@@ -145,13 +150,13 @@ def main():
                     bsvo.top_depth, light + tag, target)
                 gsum = sum(jnp.sum(jnp.abs(g))
                            for g in jax.tree_util.tree_leaves(grads))
-                return float(loss + gsum)
+                return loss + gsum
     elif path == "pallas" and mode == "fwd":
         def run(tag):
             img = diff.render_diff_pallas(albedo, normal, density, svo.masks,
                                           svo.child_base, svo.leaf_base, o, d,
                                           depth, light + tag)
-            return float(jnp.sum(img))
+            return jnp.sum(img)
     elif path == "pallas":
         def run(tag):
             loss, grads = diff.loss_and_grads_pallas(
@@ -159,13 +164,13 @@ def main():
                 svo.leaf_base, o, d, depth, light + tag, target)
             gsum = sum(jnp.sum(jnp.abs(g))
                        for g in jax.tree_util.tree_leaves(grads))
-            return float(loss + gsum)
+            return loss + gsum
     elif mode == "fwd":
         def run(tag):
             img = diff.render_diff(albedo, normal, density, svo.masks,
                                    svo.child_base, svo.leaf_base, o, d,
                                    depth, light + tag)
-            return float(jnp.sum(img))
+            return jnp.sum(img)
     else:
         def run(tag):
             loss, grads = diff.loss_and_grads(
@@ -173,7 +178,7 @@ def main():
                 svo.leaf_base, o, d, depth, light + tag, target)
             gsum = sum(jnp.sum(jnp.abs(g))
                        for g in jax.tree_util.tree_leaves(grads))
-            return float(loss + gsum)
+            return loss + gsum
 
     # absorb the remote backend's first-execution handshake on a tiny
     # program before touching the big one (the handshake cost is wildly
@@ -187,19 +192,23 @@ def main():
 
     zero = jnp.zeros(3, jnp.float32)
     t0 = time.time()
-    run(zero)
+    float(run(zero))
     print(f"# warmup(compile+run): {time.time() - t0:.1f}s on "
           f"{jax.devices()[0]}", file=sys.stderr)
+    # deep warmup: the first few executions of a FRESHLY COMPILED program on
+    # this tunnel backend carry a ~150 ms per-run tax (PROFILE.md r4)
+    for i in range(4):
+        float(run(zero * (i + 1)))
 
     t0 = time.time()
-    acc = 0.0
-    for i in range(iters):
-        # vary an input epsilon so no layer can serve a cached result
-        acc += run(zero * i)
+    # vary an input epsilon so no layer can serve a cached result; issue all
+    # iterations, fence once (sustained throughput)
+    outs = [run(zero * i) for i in range(iters)]
+    acc = sum(float(v) for v in outs)
     dt = (time.time() - t0) / iters
     rays_per_s = n_rays / dt
-    print(f"# steady-state: {dt*1e3:.1f} ms/iter at {res_px}x{res_px}",
-          file=sys.stderr)
+    print(f"# steady-state: {dt*1e3:.1f} ms/iter at {res_px}x{res_px} "
+          f"(pipelined)", file=sys.stderr)
 
     # forward-only companion number in the same session (bench hygiene:
     # both numbers + fraction of the measured ~300 Mrows/s single-chip
@@ -209,12 +218,13 @@ def main():
         def run_fwd(tag):
             img, residual = diff.render_diff_tile(
                 albedo, normal, density, tsvo, o_t, d_t, corners,
-                light + tag, k_max=tile_k)
-            return float(jnp.sum(img) + residual)
-        run_fwd(zero)
+                light + tag, k_max=tile_k, fb_tiles=tile_fbt)
+            return jnp.sum(img) + residual
+        for i in range(5):
+            float(run_fwd(zero * i))
         t0 = time.time()
-        for i in range(iters):
-            run_fwd(zero * i)
+        outs = [run_fwd(zero * i) for i in range(iters)]
+        sum(float(v) for v in outs)
         dt_f = (time.time() - t0) / iters
         fwd_rays_per_s = n_rays / dt_f
         print(f"# steady-state fwd: {dt_f*1e3:.1f} ms/iter", file=sys.stderr)
@@ -227,6 +237,7 @@ def main():
         "mrays_per_s": round(rays_per_s / 1e6, 2),
         "frac_gather_ceiling": round(rays_per_s / 300e6, 4),
         "iters": iters,
+        "timing": "pipelined",
         "build_seconds": round(build_s, 2),
         "build_source": ("device" if build_mode == "device" else
                          "cache" if cached else "host"),

@@ -8,9 +8,11 @@ normal, density as float arrays — the compressed attachment codec in
 ops/codecs.py is kept for parity/IO only; the gradient path uses fp params).
 
 The backward pass routes millions of per-pixel cotangents to few voxel rows
-without atomics: cotangents are sorted by leaf id and reduced with
-jax.ops.segment_sum (indices_are_sorted=True) inside a custom VJP — the
-deterministic, TPU-friendly scatter demanded by SURVEY.md §7.3.6.
+without atomics, inside a custom VJP (the deterministic, TPU-friendly
+scatter demanded by SURVEY.md §7.3.6): sort by leaf id + running column
+sums + one boundary gather at production row counts (_segment_reduce_cols),
+or seven rank-1 scatter-adds below SEG_MIN_ROWS (bit-identical to builtin
+autodiff's serialized scatter).
 """
 
 from __future__ import annotations
@@ -321,7 +323,7 @@ loss_and_grads_brick = jax.jit(
                                    "fb_k"))
 def render_diff_tile(albedo, normal, density, tsvo, o, d, corners,
                      light_dir, light_intensity=1.3, light_ambient=0.08,
-                     k_max=64, chunk_tiles=256, fb_tiles=256, fb_k=256):
+                     k_max=64, chunk_tiles=256, fb_tiles=128, fb_k=256):
     """Differentiable render via the tile traversal (hits bit-identical to
     render_diff — tested). o/d: (T, P, 3) tile-major; returns ((T*P, 3)
     radiance, residual-unresolved count)."""
@@ -339,7 +341,7 @@ def render_diff_tile(albedo, normal, density, tsvo, o, d, corners,
 
 
 def l2_loss_tile(albedo, normal, density, tsvo, o, d, corners, light_dir,
-                 target, k_max=64, chunk_tiles=256, fb_tiles=256, fb_k=256):
+                 target, k_max=64, chunk_tiles=256, fb_tiles=128, fb_k=256):
     """Tile-path training loss. Returns (loss, residual count): residual is
     the number of rays whose hits are still cap-limited after the enlarged-K
     re-walk (loss/grads over them use inexact hits) — callers must surface

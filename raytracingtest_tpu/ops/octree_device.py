@@ -181,102 +181,115 @@ def _first_child(par, child_vals, active, n_parents):
     return jnp.where(fb == big, 0, fb)
 
 
-def build_svo_device(scene, depth: int, verbose: bool = False) -> SVO:
+def build_svo_device(scene, depth: int, verbose: bool = False,
+                     root_level: int = 0,
+                     root_coord=(0, 0, 0)) -> SVO:
     """Build a packed SVO on the device. Bit-identical structure and
     attributes to build_svo(scene, depth) (tested); arrays stay on device.
 
     Per level, only one scalar (the surviving-candidate count) crosses the
     host link. Scene evals happen on the accelerator.
+
+    root_level/root_coord build the SUBTREE rooted at that world octant
+    (integer coords at root_level) down to world level `depth`: the octant's
+    dyadic corner makes every child center/probe position bit-identical to
+    the monolithic build's, so per-octant builds merge into exactly the
+    monolithic structure (build_svo_device_split). The returned SVO has
+    depth == depth - root_level; leaf attributes are evaluated at WORLD
+    coordinates.
     """
-    if depth < 1:
-        raise ValueError("depth must be >= 1")
+    sub_depth = depth - root_level
+    if sub_depth < 1:
+        raise ValueError("depth must be >= root_level + 1")
     L = float(scene.lipschitz)
     i32 = jnp.int32
 
-    # ---- Phase A: downward frontier sweep (device) ----------------------
-    coords = [jnp.zeros((1, 3), i32)]
+    # ---- Phase A: downward frontier sweep (device); list index k is the
+    # SUB level (world level root_level + k) ------------------------------
+    coords = [jnp.asarray([root_coord], i32)]
     pars = [jnp.zeros((1,), i32)]
     slots = [jnp.zeros((1,), i32)]
     valid_n = [1]
     f_fin = None
     import time as _time
-    for l in range(1, depth + 1):
+    for k in range(1, sub_depth + 1):
         t0 = _time.time()
-        valid_prev = (pars[l - 1] >= 0 if l > 1
+        valid_prev = (pars[k - 1] >= 0 if k > 1
                       else jnp.ones((1,), bool))
-        cc, par, slot, fv, n = _expand_level(coords[l - 1], valid_prev,
-                                             scene, l, depth, L)
+        cc, par, slot, fv, n = _expand_level(coords[k - 1], valid_prev,
+                                             scene, root_level + k, depth, L)
         del valid_prev
         if verbose:
-            print(f"# build level {l}: {n} candidates "
+            print(f"# build level {root_level + k}: {n} candidates "
                   f"({_time.time() - t0:.1f}s)", flush=True)
         coords.append(cc)
         pars.append(par)
         slots.append(slot)
         valid_n.append(n)
-        if l == depth:
+        if k == sub_depth:
             f_fin = fv
-        if l >= 2:
+        if k >= 2:
             # phase C needs only par/slot per level; freeing parent coords
             # halves peak HBM on deep builds
-            coords[l - 1] = None
+            coords[k - 1] = None
 
     # ---- Phase B: leaf test (chunked at large frontiers) ----------------
-    survive = [None] * (depth + 1)
-    fin_cap = coords[depth].shape[0]
+    survive = [None] * (sub_depth + 1)
+    fin_cap = coords[sub_depth].shape[0]
     chunk_b = CHUNK_PARENTS * 2
     if fin_cap <= chunk_b:
-        survive[depth] = _leaf_test(coords[depth], pars[depth], f_fin,
-                                    scene=scene, depth=depth)
+        survive[sub_depth] = _leaf_test(coords[sub_depth], pars[sub_depth],
+                                        f_fin, scene=scene, depth=depth)
     else:
         parts = [
-            _leaf_test(coords[depth][c:c + chunk_b],
-                       pars[depth][c:c + chunk_b],
+            _leaf_test(coords[sub_depth][c:c + chunk_b],
+                       pars[sub_depth][c:c + chunk_b],
                        f_fin[c:c + chunk_b], scene=scene, depth=depth)
             for c in range(0, fin_cap, chunk_b)
         ]
-        survive[depth] = jnp.concatenate(parts)
+        survive[sub_depth] = jnp.concatenate(parts)
 
     # ---- Phase C: upward pruning + assembly -----------------------------
-    valid_masks = [None] * depth
-    for l in range(depth - 1, -1, -1):
-        n_par = pars[l].shape[0]
-        vm = _level_up(pars[l + 1], slots[l + 1], survive[l + 1], n_par)
-        valid_masks[l] = vm
+    valid_masks = [None] * sub_depth
+    for k in range(sub_depth - 1, -1, -1):
+        n_par = pars[k].shape[0]
+        vm = _level_up(pars[k + 1], slots[k + 1], survive[k + 1], n_par)
+        valid_masks[k] = vm
         sv = vm != 0
-        if l == 0:
+        if k == 0:
             sv = sv | (jnp.arange(n_par) == 0)  # root always survives
-        survive[l] = sv
+        survive[k] = sv
 
-    level_counts = [int(jnp.sum(survive[l])) for l in range(depth)]
-    n_leaves = int(jnp.sum(survive[depth]))
-    level_start = np.zeros(depth + 1, np.int64)
+    level_counts = [int(jnp.sum(survive[k])) for k in range(sub_depth)]
+    n_leaves = int(jnp.sum(survive[sub_depth]))
+    level_start = np.zeros(sub_depth + 1, np.int64)
     np.cumsum(level_counts, out=level_start[1:])
     n_nodes = int(level_start[-1])
 
-    new_idx = [jnp.cumsum(survive[l].astype(i32)) - 1 for l in range(depth)]
-    leaf_idx = jnp.cumsum(survive[depth].astype(i32)) - 1
+    new_idx = [jnp.cumsum(survive[k].astype(i32)) - 1
+               for k in range(sub_depth)]
+    leaf_idx = jnp.cumsum(survive[sub_depth].astype(i32)) - 1
 
     masks_parts = []
     child_parts = []
     leaf_parts = []
-    for l in range(depth):
-        s = survive[l]
-        cnt = level_counts[l]
+    for k in range(sub_depth):
+        s = survive[k]
+        cnt = level_counts[k]
         rows = jnp.flatnonzero(s, size=max(cnt, 1), fill_value=0)
-        vm = jnp.take(valid_masks[l], rows)
-        if l == depth - 1:
+        vm = jnp.take(valid_masks[k], rows)
+        if k == sub_depth - 1:
             m = (vm << 8) | vm
-            fb = _first_child(pars[depth], leaf_idx, survive[depth],
-                              pars[l].shape[0])
+            fb = _first_child(pars[sub_depth], leaf_idx, survive[sub_depth],
+                              pars[k].shape[0])
             cb = jnp.zeros_like(vm)
             lb = jnp.take(fb, rows)
         else:
             m = vm << 8
             fb = _first_child(
-                pars[l + 1],
-                jnp.int32(level_start[l + 1]) + new_idx[l + 1],
-                survive[l + 1], pars[l].shape[0])
+                pars[k + 1],
+                jnp.int32(level_start[k + 1]) + new_idx[k + 1],
+                survive[k + 1], pars[k].shape[0])
             cb = jnp.take(fb, rows)
             lb = jnp.zeros_like(vm)
         if cnt == 0:
@@ -288,10 +301,10 @@ def build_svo_device(scene, depth: int, verbose: bool = False) -> SVO:
     child_base = jnp.concatenate(child_parts)
     leaf_base = jnp.concatenate(leaf_parts)
 
-    # ---- Phase D: leaf attributes ---------------------------------------
-    lrows = jnp.flatnonzero(survive[depth], size=max(n_leaves, 1),
+    # ---- Phase D: leaf attributes (WORLD coordinates) -------------------
+    lrows = jnp.flatnonzero(survive[sub_depth], size=max(n_leaves, 1),
                             fill_value=0)
-    lcc = jnp.take(coords[depth], lrows, axis=0)
+    lcc = jnp.take(coords[sub_depth], lrows, axis=0)
     albedo, normal = _leaf_attrs(lcc, scene=scene, depth=depth)
     if n_leaves == 0:
         albedo, normal = albedo[:0], normal[:0]
@@ -301,7 +314,7 @@ def build_svo_device(scene, depth: int, verbose: bool = False) -> SVO:
     return SVO(
         masks=masks, child_base=child_base, leaf_base=leaf_base,
         leaf_albedo=albedo, leaf_normal=normal, leaf_density=density,
-        depth=depth, level_start=tuple(int(v) for v in level_start),
+        depth=sub_depth, level_start=tuple(int(v) for v in level_start),
         parent_ptr=pptr,
     )
 
@@ -335,3 +348,145 @@ def derive_parent_ptr_device(masks, child_base):
     seed = jnp.zeros(n + 1, jnp.int32).at[tgt].max(
         jnp.arange(n, dtype=jnp.int32), mode="drop")[:n]
     return jax.lax.associative_scan(jnp.maximum, seed)
+
+
+def _compact3(v):
+    """Extract every 3rd bit (morton decode helper, <= 10 bits/axis)."""
+    v &= 0x9249249
+    v = (v | (v >> 2)) & 0x30C30C3
+    v = (v | (v >> 4)) & 0x300F00F
+    v = (v | (v >> 8)) & 0x30000FF
+    return (v | (v >> 16)) & 0x3FF
+
+
+def build_svo_device_split(scene, depth: int, split_level: int = 2,
+                           verbose: bool = False) -> SVO:
+    """Config-5-scale device build: one bounded, REUSED program set.
+
+    The monolithic depth-12 build dies in the remote compiler — a single
+    phase-C program over a ~200M-candidate frontier takes >1h to compile
+    (PROFILE.md). Here the world is split into 8^split_level octants and
+    each octant's subtree is built independently with build_svo_device
+    (root_level/root_coord): every octant hits the SAME power-of-two bucket
+    shapes, so programs compile once and run 8^split times. Octant corners
+    are dyadic, so per-octant child centers / probes / attribute positions
+    are bit-identical to the monolithic build's — the merged SVO equals
+    build_svo_device(scene, depth) exactly (tested).
+
+    This is also the per-device build shape of the level-sharded config
+    (parallel/level_sharded.py): at scale each device builds its own
+    octants and keeps them as its arena shard.
+    """
+    if split_level < 1 or depth <= split_level:
+        raise ValueError("need 1 <= split_level < depth")
+    i32 = jnp.int32
+    n_oct = 8 ** split_level
+    sub_depth = depth - split_level
+
+    subs = {}
+    for o in range(n_oct):                      # morton order
+        cx = int(_compact3(o))
+        cy = int(_compact3(o >> 1))
+        cz = int(_compact3(o >> 2))
+        sub = build_svo_device(scene, depth, verbose=verbose,
+                               root_level=split_level,
+                               root_coord=(cx, cy, cz))
+        if sub.n_leaves > 0:
+            subs[o] = sub
+        if verbose:
+            print(f"# octant {o}: {sub.n_nodes} nodes "
+                  f"{sub.n_leaves} leaves", flush=True)
+
+    # ---- top levels 0..split_level-1 over octant occupancy (host; tiny) --
+    occ = [None] * (split_level + 1)
+    occ[split_level] = np.zeros(n_oct, bool)
+    for o in subs:
+        occ[split_level][o] = True
+    for t in range(split_level - 1, -1, -1):
+        occ[t] = occ[t + 1].reshape(-1, 8).any(axis=1)
+
+    top_masks, top_child = [], []
+    counts_top = [int(occ[t].sum()) for t in range(split_level + 1)]
+    # merged level starts: top levels, then per-sub-level totals
+    lvl_counts = counts_top[:split_level] + [
+        sum(int(sub.level_start[k + 1] - sub.level_start[k])
+            for sub in subs.values())
+        for k in range(sub_depth)]
+    level_start = np.zeros(depth + 1, np.int64)
+    np.cumsum(lvl_counts, out=level_start[1:])
+
+    for t in range(split_level):
+        cells = np.flatnonzero(occ[t])
+        child_occ = occ[t + 1].reshape(-1, 8)
+        vm = np.zeros(len(cells), np.int32)
+        for j, c in enumerate(cells):
+            vm[j] = int(np.packbits(child_occ[c], bitorder="little")[0])
+        # first-child rows: children are packed morton parent-major at the
+        # next level, so a prefix count over occupied cells gives the base
+        child_prefix = np.concatenate(
+            [[0], np.cumsum(child_occ.sum(axis=1))])[cells]
+        top_masks.append(vm << 8)
+        top_child.append((level_start[t + 1] + child_prefix).astype(np.int32))
+    if not subs:                                 # empty world: root only
+        top_masks = [np.zeros(1, np.int32)]
+        top_child = [np.zeros(1, np.int32)]
+        level_start[:] = 0
+        level_start[1:] = 1
+
+    # ---- merge sub levels with pointer rebasing (device concats) --------
+    masks_parts = [jnp.asarray(m) for m in top_masks]
+    child_parts = [jnp.asarray(c) for c in top_child]
+    leaf_parts = [jnp.zeros(sum(counts_top[:split_level]), i32)]
+    # per-octant prefixes per sub level and for leaves
+    order = sorted(subs)
+    leaf_prefix = {}
+    lvl_prefix = {k: {} for k in range(sub_depth + 1)}
+    acc_leaf = 0
+    acc_lvl = [0] * (sub_depth + 1)
+    for o in order:
+        sub = subs[o]
+        leaf_prefix[o] = acc_leaf
+        acc_leaf += sub.n_leaves
+        for k in range(sub_depth):
+            lvl_prefix[k][o] = acc_lvl[k]
+            acc_lvl[k] += int(sub.level_start[k + 1] - sub.level_start[k])
+
+    leaf_mid_parts = []
+    for k in range(sub_depth):
+        for o in order:
+            sub = subs[o]
+            lo, hi = int(sub.level_start[k]), int(sub.level_start[k + 1])
+            m = sub.masks[lo:hi]
+            cb = sub.child_base[lo:hi]
+            lb = sub.leaf_base[lo:hi]
+            has_child = ((m >> 8) & ~m & 0xFF) != 0
+            has_leaf = (m & 0xFF) != 0
+            if k < sub_depth - 1:
+                cb = jnp.where(
+                    has_child,
+                    cb - int(sub.level_start[k + 1])
+                    + int(level_start[split_level + k + 1])
+                    + lvl_prefix[k + 1][o], 0)
+            else:
+                cb = jnp.zeros_like(cb)
+            lb = jnp.where(has_leaf, lb + leaf_prefix[o], 0)
+            masks_parts.append(m)
+            child_parts.append(cb)
+            leaf_mid_parts.append(lb)
+    masks = jnp.concatenate(masks_parts)
+    child_base = jnp.concatenate(child_parts)
+    leaf_base = jnp.concatenate(leaf_parts + leaf_mid_parts)
+
+    albedo = jnp.concatenate(
+        [subs[o].leaf_albedo for o in order]) if subs else         jnp.zeros((0, 3), jnp.float32)
+    normal = jnp.concatenate(
+        [subs[o].leaf_normal for o in order]) if subs else         jnp.zeros((0, 3), jnp.float32)
+    density = jnp.ones(acc_leaf if subs else 0, jnp.float32)
+
+    pptr = derive_parent_ptr_device(masks, child_base)
+    return SVO(
+        masks=masks, child_base=child_base, leaf_base=leaf_base,
+        leaf_albedo=albedo, leaf_normal=normal, leaf_density=density,
+        depth=depth, level_start=tuple(int(v) for v in level_start),
+        parent_ptr=pptr,
+    )

@@ -944,7 +944,7 @@ def _trace_tile_fb(pyr, cellmap, bricks, o, d, corners, apex, depth,
 
 
 def trace_tile_fb(tsvo: TileSVO, o, d, corners, k_max=64, caps=None,
-                  chunk_tiles=256, fb_tiles=256, fb_k=256):
+                  chunk_tiles=256, fb_tiles=128, fb_k=256):
     """Single-dispatch tile trace with in-jit enlarged-K tile re-walk
     fallback. The residual mask is nonzero only when unresolved rays span
     more than fb_tiles tiles or stay cap-limited at fb_k candidates."""

@@ -145,7 +145,7 @@ def make_train_step_brick(mesh, depth, top_depth, optimizer):
 
 def render_tile_sharded(mesh, albedo, normal, density, tsvo, o, d, corners,
                         light_dir, k_max=96, chunk_tiles=256,
-                        fb_tiles=256, fb_k=256):
+                        fb_tiles=128, fb_k=256):
     """Forward render on the PRODUCTION tile path with tiles sharded over
     the mesh (the data/sequence-parallel axis of this workload at tile
     granularity — each device walks its own tiles' frustums; no cross-
@@ -173,7 +173,7 @@ def render_tile_sharded(mesh, albedo, normal, density, tsvo, o, d, corners,
 
 
 def make_train_step_tile(mesh, optimizer, k_max=96, chunk_tiles=256,
-                         fb_tiles=256, fb_k=256, overlap_groups=1):
+                         fb_tiles=128, fb_k=256, overlap_groups=1):
     """Sharded train step on the tile hot path: tiles sharded over the
     mesh, voxel-parameter grads psum'ed. Hits are bit-identical to the
     plain/brick paths, so the whole optimization trajectory coincides

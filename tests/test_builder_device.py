@@ -66,3 +66,29 @@ def test_device_build_renders_identically():
 def test_device_build_rejects_bad_depth():
     with pytest.raises(ValueError):
         build_svo_device(rt.get_scene("sphere"), 0)
+
+
+def test_split_build_matches_monolithic():
+    """build_svo_device_split merges per-octant subtree builds into exactly
+    the monolithic structure+attributes (dyadic octant corners make every
+    sample position bit-identical)."""
+    from raytracingtest_tpu.ops.octree_device import (
+        build_svo_device, build_svo_device_split)
+    import raytracingtest_tpu as rt
+    for scene, depth, split in (("sphere", 5, 1), ("terrain", 6, 2)):
+        mono = build_svo_device(rt.get_scene(scene), depth)
+        sp = build_svo_device_split(rt.get_scene(scene), depth,
+                                    split_level=split)
+        assert sp.level_start == mono.level_start
+        np.testing.assert_array_equal(np.asarray(mono.masks),
+                                      np.asarray(sp.masks))
+        np.testing.assert_array_equal(np.asarray(mono.child_base),
+                                      np.asarray(sp.child_base))
+        np.testing.assert_array_equal(np.asarray(mono.leaf_base),
+                                      np.asarray(sp.leaf_base))
+        np.testing.assert_array_equal(np.asarray(mono.leaf_albedo),
+                                      np.asarray(sp.leaf_albedo))
+        np.testing.assert_array_equal(np.asarray(mono.leaf_normal),
+                                      np.asarray(sp.leaf_normal))
+        np.testing.assert_array_equal(np.asarray(mono.parent_ptr),
+                                      np.asarray(sp.parent_ptr))
