@@ -429,6 +429,7 @@ def make_sharded_fit_step(mesh, ls: LevelShardedSVO, max_octants=None,
               oct_root, oct_origin, arena_m3, arena_c3, arena_l3, o, d,
               light_dir, target):
         # replicated rays, device-local trace results (see make_sharded_trace)
+        d_rep = d           # replicated copy: the sky/loss terms below must
         o = jax.lax.pcast(o, RAY_AXIS, to="varying")
         d = jax.lax.pcast(d, RAY_AXIS, to="varying")
         my_dev = jax.lax.axis_index(RAY_AXIS)
@@ -442,7 +443,9 @@ def make_sharded_fit_step(mesh, ls: LevelShardedSVO, max_octants=None,
         mine = out_owner == my_dev
         safe_leaf = jnp.where(mine, out_leaf, 0)
         any_hit = jax.lax.psum(mine.astype(jnp.int32), RAY_AXIS) > 0
-        sky = sky_color(d, jnp)
+        # stay REPLICATED so the final loss (out_specs P()) passes the vma
+        # checker: sky depends only on ray directions, identical per device
+        sky = sky_color(d_rep, jnp)
         n_rays = o.shape[0]
 
         # Each ray's error term is owned by exactly one device (its hit's

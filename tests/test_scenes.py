@@ -15,7 +15,11 @@ def test_scene_numpy_jax_agree(name):
     f_jx = np.asarray(
         scene(jnp.asarray(p[:, 0]), jnp.asarray(p[:, 1]), jnp.asarray(p[:, 2]), xp=jnp)
     )
-    np.testing.assert_allclose(f_np, f_jx, rtol=1e-5, atol=1e-6)
+    # the *_ref scenes evaluate OpenSimplex in float64 on numpy (reference
+    # numerics) but float32 under jax (x64 disabled) — looser bound there
+    tol = dict(rtol=2e-3, atol=2e-3) if name.endswith("_ref") else \
+        dict(rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(f_np, f_jx, **tol)
 
 
 @pytest.mark.parametrize("name", sorted(SCENES))
