@@ -236,6 +236,7 @@ def main():
         "vs_baseline": rays_per_s / 2.0e9,
         "mrays_per_s": round(rays_per_s / 1e6, 2),
         "frac_gather_ceiling": round(rays_per_s / 300e6, 4),
+        "ms_per_frame": round(dt * 1e3, 1),
         "iters": iters,
         "timing": "pipelined",
         "build_seconds": round(build_s, 2),
@@ -245,6 +246,7 @@ def main():
     if fwd_rays_per_s is not None:
         out["fwd_rays_per_s"] = round(fwd_rays_per_s)
         out["fwd_mrays_per_s"] = round(fwd_rays_per_s / 1e6, 2)
+        out["fwd_ms_per_frame"] = round(dt_f * 1e3, 1)
         out["fwdbwd_over_fwd"] = round(fwd_rays_per_s / rays_per_s, 2)
     print(json.dumps(out))
 
