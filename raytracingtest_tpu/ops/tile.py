@@ -961,12 +961,14 @@ def trace_tile_fb(tsvo: TileSVO, o, d, corners, k_max=64, caps=None,
 
 
 def trace_tile_exact(tsvo: TileSVO, o, d, corners, k_max=48, caps=None,
-                     chunk_tiles=256) -> TraceResult:
-    """trace_tile + exact per-ray fallback for unresolved rays (host sync;
-    unresolved is typically empty — the bound is conservative)."""
+                     chunk_tiles=256, fb_tiles=128, fb_k=256) -> TraceResult:
+    """Exact tile trace: the in-jit enlarged-K re-walk resolves nearly all
+    cap-dropped rays in the same dispatch; any residual rays (rare) are
+    re-traced per-ray on the host-sync brick path."""
     from raytracingtest_tpu.ops import brick as brick_mod
-    res, unresolved = trace_tile(tsvo, o, d, corners, k_max=k_max,
-                                 caps=caps, chunk_tiles=chunk_tiles)
+    res, unresolved = trace_tile_fb(tsvo, o, d, corners, k_max=k_max,
+                                    caps=caps, chunk_tiles=chunk_tiles,
+                                    fb_tiles=fb_tiles, fb_k=fb_k)
     n_un = int(jnp.sum(unresolved))
     if n_un == 0:
         return res
