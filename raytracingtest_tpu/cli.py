@@ -96,6 +96,16 @@ def cmd_render(args):
         wa, wb = codecs.build_attachments(svo)
         img = _np.asarray(render_mod.render_attachment(
             svo, wa, wb, o, d)).reshape(args.height, args.width, 3)
+    elif args.specular > 0.0 and args.bounces > 1:
+        # live reflection continuation (the reference megakernel's bounce
+        # loop, dead there with specular=0; RaytraceCompute.compute:159-166)
+        from raytracingtest_tpu.ops import brick as brick_mod
+        from raytracingtest_tpu.models.renderers import _camera
+        from raytracingtest_tpu.render import Light, render_bounce
+        bsvo = brick_mod.make_brick_svo(svo).device()
+        img = render_bounce(bsvo, svo.leaf_albedo, svo.leaf_normal,
+                            _camera(cam), light=Light(),
+                            specular=args.specular, bounces=args.bounces)
     elif args.volumetric_k > 0:
         model = VolumetricRenderer(svo, k=args.volumetric_k)
         img = model.render(cam, rnd)
@@ -318,6 +328,10 @@ def main(argv=None):
                     default=[0.5, 0.85, -0.6])
     pr.add_argument("--look-at", type=float, nargs=3, default=[0.5, 0.4, 0.5])
     pr.add_argument("--samples", type=int, default=1)
+    pr.add_argument("--bounces", type=int, default=1,
+                    help="reflection bounces (with --specular > 0)")
+    pr.add_argument("--specular", type=float, default=0.0,
+                    help="mirror reflectance per bounce (ref ships 0)")
     pr.add_argument("--volumetric-k", type=int, default=0)
     pr.add_argument("--out", default="render.png")
     pr.set_defaults(fn=cmd_render)

@@ -92,3 +92,35 @@ def test_light_direction_changes_shading(sphere5):
     a = render_numpy(sphere5, CAM, light=Light(direction=(-1.0, -1.0, 0.0)))
     b = render_numpy(sphere5, CAM, light=Light(direction=(1.0, -1.0, 0.0)))
     assert not np.allclose(a, b)
+
+
+def test_bounce_loop_specular_zero_matches_single_bounce():
+    """The bounce machinery (RaytraceCompute.compute:159-166 role) with
+    specular=0 must reproduce the single-bounce image exactly; specular>0
+    must add finite reflection continuation that changes hit pixels."""
+    import raytracingtest_tpu as rt
+    from raytracingtest_tpu.ops import brick as brick_mod
+    from raytracingtest_tpu.ops.camera import Camera
+    from raytracingtest_tpu.render import Light, render_bounce, render_jax
+
+    res = rt.build_svo(rt.get_scene("sphere"), 5)
+    svo = res.svo.device()
+    bsvo = brick_mod.make_brick_svo(res.svo).device()
+    cam = Camera(position=(0.5, 0.6, -1.0), look_at=(0.5, 0.5, 0.5),
+                 fov_y_deg=45.0, width=48, height=48)
+
+    base = np.asarray(render_jax(svo, cam, light=Light()))
+    b1 = render_bounce(bsvo, svo.leaf_albedo, svo.leaf_normal, cam,
+                       specular=0.0, bounces=1)
+    np.testing.assert_allclose(b1, base, rtol=1e-5, atol=1e-6)
+
+    # more bounces with specular=0 change nothing (energy dies at bounce 1)
+    b3 = render_bounce(bsvo, svo.leaf_albedo, svo.leaf_normal, cam,
+                       specular=0.0, bounces=3)
+    np.testing.assert_allclose(b3, b1, rtol=0, atol=0)
+
+    # live reflections: finite, and different on hit pixels
+    bs = render_bounce(bsvo, svo.leaf_albedo, svo.leaf_normal, cam,
+                       specular=0.4, bounces=3)
+    assert np.isfinite(bs).all()
+    assert np.abs(bs - b1).max() > 1e-3
