@@ -867,6 +867,13 @@ def _walk_tiles_chunk(bricks, o, d, codes, ids, t_codes, drop_t, *, depth,
 # k_max at the finest level). Ramp: coarse levels are cheap to keep small,
 # the finest carries the real list.
 def _default_caps(top_depth, k_max):
+    if _os.environ.get("RTT_TILE_CAPS_TIGHT"):
+        # tighter ramp: ~45% fewer sorted elements in phase 1, more
+        # cap-dropping absorbed by the enlarged-K re-walk (A/B knob)
+        caps = [1, 8]
+        for l in range(2, top_depth + 1):
+            caps.append(min(k_max, caps[-1] + max(4, caps[-1] // 3)))
+        return tuple(caps)
     caps = [1, 8]
     for l in range(2, top_depth + 1):
         caps.append(min(k_max, max(12, caps[-1] + caps[-1] // 2)))
