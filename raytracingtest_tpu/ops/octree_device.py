@@ -392,7 +392,9 @@ def build_svo_device_split(scene, depth: int, split_level: int = 2,
                                root_level=split_level,
                                root_coord=(cx, cy, cz))
         if sub.n_leaves > 0:
-            subs[o] = sub
+            # pull the octant to host right away: the merge below runs in
+            # numpy (see the host-merge note at the merge section)
+            subs[o] = jax.tree_util.tree_map(np.asarray, sub)
         if verbose:
             print(f"# octant {o}: {sub.n_nodes} nodes "
                   f"{sub.n_leaves} leaves", flush=True)
@@ -433,10 +435,15 @@ def build_svo_device_split(scene, depth: int, split_level: int = 2,
         level_start[:] = 0
         level_start[1:] = 1
 
-    # ---- merge sub levels with pointer rebasing (device concats) --------
-    masks_parts = [jnp.asarray(m) for m in top_masks]
-    child_parts = [jnp.asarray(c) for c in top_child]
-    leaf_parts = [jnp.zeros(sum(counts_top[:split_level]), i32)]
+    # ---- merge sub levels with pointer rebasing (host numpy) ------------
+    # (a ~640-operand device concatenate stalls the remote compiler for
+    # >50 min — the same compile-wall class this function exists to avoid;
+    # at true config-5 scale octants stay sharded per-device via split_svo
+    # and never merge anyway, so the host merge is the single-chip
+    # convenience path)
+    masks_parts = list(top_masks)
+    child_parts = list(top_child)
+    leaf_parts = [np.zeros(sum(counts_top[:split_level]), np.int32)]
     # per-octant prefixes per sub level and for leaves
     order = sorted(subs)
     leaf_prefix = {}
@@ -462,28 +469,31 @@ def build_svo_device_split(scene, depth: int, split_level: int = 2,
             has_child = ((m >> 8) & ~m & 0xFF) != 0
             has_leaf = (m & 0xFF) != 0
             if k < sub_depth - 1:
-                cb = jnp.where(
+                cb = np.where(
                     has_child,
                     cb - int(sub.level_start[k + 1])
                     + int(level_start[split_level + k + 1])
-                    + lvl_prefix[k + 1][o], 0)
+                    + lvl_prefix[k + 1][o], 0).astype(np.int32)
             else:
-                cb = jnp.zeros_like(cb)
-            lb = jnp.where(has_leaf, lb + leaf_prefix[o], 0)
+                cb = np.zeros_like(cb)
+            lb = np.where(has_leaf, lb + leaf_prefix[o], 0).astype(np.int32)
             masks_parts.append(m)
             child_parts.append(cb)
             leaf_mid_parts.append(lb)
-    masks = jnp.concatenate(masks_parts)
-    child_base = jnp.concatenate(child_parts)
-    leaf_base = jnp.concatenate(leaf_parts + leaf_mid_parts)
+    masks = np.concatenate(masks_parts).astype(np.int32)
+    child_base = np.concatenate(child_parts).astype(np.int32)
+    leaf_base = np.concatenate(leaf_parts + leaf_mid_parts).astype(np.int32)
 
-    albedo = jnp.concatenate(
-        [subs[o].leaf_albedo for o in order]) if subs else         jnp.zeros((0, 3), jnp.float32)
-    normal = jnp.concatenate(
-        [subs[o].leaf_normal for o in order]) if subs else         jnp.zeros((0, 3), jnp.float32)
-    density = jnp.ones(acc_leaf if subs else 0, jnp.float32)
+    if subs:
+        albedo = np.concatenate([subs[o].leaf_albedo for o in order])
+        normal = np.concatenate([subs[o].leaf_normal for o in order])
+    else:
+        albedo = np.zeros((0, 3), np.float32)
+        normal = np.zeros((0, 3), np.float32)
+    density = np.ones(acc_leaf if subs else 0, np.float32)
 
-    pptr = derive_parent_ptr_device(masks, child_base)
+    from raytracingtest_tpu.ops.octree import compute_parent_ptr
+    pptr = compute_parent_ptr(masks, child_base)
     return SVO(
         masks=masks, child_base=child_base, leaf_base=leaf_base,
         leaf_albedo=albedo, leaf_normal=normal, leaf_density=density,
