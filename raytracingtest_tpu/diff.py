@@ -63,8 +63,10 @@ import os as _os
 SCATTER_MODE = _os.environ.get("RTT_SCATTER", "seg")
 # below this row count the rank-1 path runs regardless: it is bit-identical
 # to builtin autodiff's scatter (same serialized add order) and row counts
-# this small are scatter-cheap anyway
-SEG_MIN_ROWS = 1 << 16
+# this small are scatter-cheap anyway. Overridable (RTT_SEG_MIN_ROWS) so
+# reproducibility comparisons across resolutions can pin one scheme
+# (ADVICE r04: the two paths differ by f32 reassociation, ~1e-4).
+SEG_MIN_ROWS = int(_os.environ.get("RTT_SEG_MIN_ROWS", 1 << 16))
 
 
 def _segment_reduce_cols(leaf_id, cols, n_out):
@@ -202,32 +204,9 @@ def render_volumetric(albedo, normal, density, masks, child_base, leaf_base,
     hit_leaf = jax.lax.stop_gradient(res.hit_leaf)      # (N, k)
     t_in = jax.lax.stop_gradient(res.t_in)
     t_out = jax.lax.stop_gradient(res.t_out)
-
-    n = o.shape[0]
-    valid = hit_leaf >= 0
-    safe = jnp.where(valid, hit_leaf, 0).reshape(-1)
-    alb, nrm, den = gather_voxel_params(albedo, normal, density, safe)
-    alb = alb.reshape(n, k, 3)
-    nrm = nrm.reshape(n, k, 3)
-    den = den.reshape(n, k)
-
-    ldir = light_dir / jnp.sqrt(jnp.sum(light_dir * light_dir))
-    nn = nrm / jnp.sqrt(jnp.maximum(jnp.sum(nrm * nrm, -1, keepdims=True),
-                                    1e-12))
-    ndotl = jnp.maximum(jnp.sum(nn * (-ldir)[None, None, :], axis=-1), 0.0)
-    color = alb * (ndotl * light_intensity + light_ambient)[..., None]
-
-    seg_len = jnp.maximum(t_out - t_in, 0.0)
-    sigma = jax.nn.softplus(den) * density_scale
-    alpha = (1.0 - jnp.exp(-sigma * seg_len)) * valid
-    # transmittance before each segment
-    trans = jnp.cumprod(1.0 - alpha + 1e-9, axis=1)
-    t_before = jnp.concatenate(
-        [jnp.ones((n, 1), jnp.float32), trans[:, :-1]], axis=1)
-    weights = t_before * alpha
-    sky = sky_color(d, jnp)
-    t_final = t_before[:, -1] * (1.0 - alpha[:, -1])
-    return jnp.sum(weights[..., None] * color, axis=1) + t_final[:, None] * sky
+    return _composite_segments(albedo, normal, density, hit_leaf, t_in,
+                               t_out, o, d, light_dir, k, light_intensity,
+                               light_ambient, density_scale)
 
 
 def volumetric_l2_loss(albedo, normal, density, masks, child_base, leaf_base,

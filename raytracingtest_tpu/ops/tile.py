@@ -58,7 +58,10 @@ from raytracingtest_tpu.ops.brick import (
 _SENTINEL = np.int32(2**31 - 1)
 
 # walker selection: "window" (round-4 per-ray-cursor walker, the default) or
-# "lockstep" (round-3 tile-synchronous walker, kept for A/B measurement)
+# "lockstep" (round-3 tile-synchronous walker, kept for A/B measurement).
+# NOTE: these A/B knobs are read ONCE at module import (they select traced
+# program structure, so call-time reads would silently recompile) — set the
+# RTT_* env vars BEFORE importing raytracingtest_tpu (ADVICE r04).
 import os as _os  # noqa: E402
 TILE_WALKER = _os.environ.get("RTT_TILE_WALKER", "window")
 TILE_WIN = int(_os.environ.get("RTT_TILE_WIN", "4"))
@@ -426,7 +429,10 @@ def _walk_chunk_window(st, codes, ids, t_codes, bricks, depth, top_depth,
     Hits are exact ESVO DDA results, bit-identical to the per-ray paths."""
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     Tc, P = st["t0"].shape
+    # slot math below indexes the window as base & (win-1): win MUST be a
+    # power of two or slots collide silently (ADVICE r04) — round down
     win = min(win, k_max)
+    win = 1 << (win.bit_length() - 1)
     bsize = f32(2.0 ** -top_depth)
     vsize = f32(2.0 ** -depth)
     vshift = S_MAX - depth

@@ -25,6 +25,24 @@ from raytracingtest_tpu.ops import traverse
 from raytracingtest_tpu.parallel.mesh import RAY_AXIS
 
 
+def _pvary_tree(tree, axis):
+    """Mark every leaf of a replicated pytree as VARYING over `axis`.
+
+    The diff.gather_voxel_params custom VJP routes ray-varying cotangents
+    back to the voxel-parameter rows, so inside a vma-checked shard_map its
+    backward outputs are varying over the rays axis. Differentiating w.r.t.
+    the replicated (unvarying) params then fails JAX's custom-VJP bwd type
+    check ("varying manual axes do not match" — the recorded
+    MULTICHIP_r04.json regression; the check is skipped when
+    jax_disable_bwd_checks is on, which is why the failure was
+    environment-sensitive). Casting the params to varying BEFORE
+    value_and_grad makes the program vma-correct by construction: grads come
+    back varying (per-device partials) and the explicit psum below reduces
+    them, exactly as before."""
+    cast = lambda x: jax.lax.pcast(x, axis, to="varying")
+    return jax.tree_util.tree_map(cast, tree)
+
+
 def render_sharded(mesh, albedo, normal, density,
                    masks, child_base, leaf_base, o, d, depth,
                    light_dir):
@@ -77,9 +95,10 @@ def make_train_step(mesh, depth, optimizer):
     def _loss_grads(params, masks, child_base, leaf_base, o_s, d_s,
                     light_dir, target_s):
         n_total = target_s.size * jax.lax.psum(1, RAY_AXIS)
+        # differentiate w.r.t. ray-VARYING params (see _pvary_tree)
         loss, grads = jax.value_and_grad(local_loss)(
-            params, masks, child_base, leaf_base, o_s, d_s, light_dir,
-            target_s, n_total)
+            _pvary_tree(params, RAY_AXIS), masks, child_base, leaf_base,
+            o_s, d_s, light_dir, target_s, n_total)
         # gradient all-reduce over the ray mesh (ICI collective)
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.psum(g, RAY_AXIS), grads)
@@ -123,9 +142,10 @@ def make_train_step_brick(mesh, depth, top_depth, optimizer):
     def _loss_grads(params, top_masks, top_child, top_parent, bricks, o_s,
                     d_s, light_dir, target_s):
         n_total = target_s.size * jax.lax.psum(1, RAY_AXIS)
+        # differentiate w.r.t. ray-VARYING params (see _pvary_tree)
         loss, grads = jax.value_and_grad(local_loss)(
-            params, top_masks, top_child, top_parent, bricks, o_s, d_s,
-            light_dir, target_s, n_total)
+            _pvary_tree(params, RAY_AXIS), top_masks, top_child, top_parent,
+            bricks, o_s, d_s, light_dir, target_s, n_total)
         grads = jax.tree_util.tree_map(
             lambda g: jax.lax.psum(g, RAY_AXIS), grads)
         loss = jax.lax.psum(loss, RAY_AXIS)
@@ -211,6 +231,8 @@ def make_train_step_tile(mesh, optimizer, k_max=96, chunk_tiles=256,
     )
     def _loss_grads(params, tsvo, o_s, d_s, corners_s, light_dir, target_s):
         n_total = target_s.size * jax.lax.psum(1, RAY_AXIS)
+        # differentiate w.r.t. ray-VARYING params (see _pvary_tree)
+        params = _pvary_tree(params, RAY_AXIS)
         T = o_s.shape[0]
         groups = overlap_groups if overlap_groups > 1 and             T % overlap_groups == 0 else 1
         gsz = T // groups

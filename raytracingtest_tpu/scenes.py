@@ -180,6 +180,8 @@ def _simplex_ref(x, y, z, xp):
 
 
 def _ref_lipschitz():
+    """Certified Lipschitz bound of the vectorized OpenSimplex evaluator —
+    the single source of truth for every *_ref scene bound (ADVICE r04)."""
     from raytracingtest_tpu.utils.opensimplex import OPENSIMPLEX3_LIPSCHITZ
     return OPENSIMPLEX3_LIPSCHITZ
 
@@ -194,8 +196,8 @@ SCENES = {
         Scene("terrain", _terrain, _TERRAIN_L),
         Scene("dense_cube", _dense_cube, 1.0),
         Scene("terrain_ref", _terrain_ref,
-              1.0 + (0.5 * 3.0 + 0.15 * 24.0) * 21.9),
-        Scene("simplex_ref", _simplex_ref, 6.0 * 21.9),
+              1.0 + (0.5 * 3.0 + 0.15 * 24.0) * _ref_lipschitz()),
+        Scene("simplex_ref", _simplex_ref, 6.0 * _ref_lipschitz()),
     ]
 }
 

@@ -205,9 +205,36 @@ def _dev_apply_brick_spans(top_m, top_c, top_p, bricks, u_m, u_c, u_p, u_b,
     )
 
 
+def _coalesce_spans(spans, slack, off_idx=0, len_idx=1):
+    """Greedy grouping of dirty spans by offset: a span joins the current
+    group while the group's bounding range stays within slack x the summed
+    span lengths. The single-group fast path covers the append-like common
+    case; recycled-slot patterns (two small spans at opposite arena ends)
+    split into a few uploads instead of one near-full-arena one
+    (ADVICE r04 — shared by DeviceArena and DeviceBrickArena)."""
+    spans = sorted(spans, key=lambda s: s[off_idx])
+    groups = [[spans[0]]]
+    lo = spans[0][off_idx]
+    hi = lo + spans[0][len_idx]
+    tot = spans[0][len_idx]
+    for s in spans[1:]:
+        nhi = max(hi, s[off_idx] + s[len_idx])
+        if (nhi - lo) <= slack * (tot + s[len_idx]):
+            groups[-1].append(s)
+            hi, tot = nhi, tot + s[len_idx]
+        else:
+            groups.append([s])
+            lo = s[off_idx]
+            hi = lo + s[len_idx]
+            tot = s[len_idx]
+    return groups
+
+
 class DeviceBrickArena:
     """Device-resident mirror of a BrickArena (same offset-upload model as
-    DeviceArena; one donated program per sync)."""
+    DeviceArena; one donated program per sync, span-coalesced)."""
+
+    COALESCE_SLACK = 8
 
     def __init__(self, barena: BrickArena):
         self.barena = barena
@@ -221,18 +248,39 @@ class DeviceBrickArena:
         spans = self.barena.dirty
         if not spans:
             return 0
-        t0 = min(s[0] for s in spans)
-        t1 = max(s[0] + s[1] for s in spans)
-        b0 = min(s[2] for s in spans)
-        b1 = max(s[2] + s[3] for s in spans)
-        a = self.barena
-        (self.top_masks, self.top_child, self.top_parent,
-         self.bricks) = _dev_apply_brick_spans(
-            self.top_masks, self.top_child, self.top_parent, self.bricks,
-            jnp.asarray(a.top_masks[t0:t1]), jnp.asarray(a.top_child[t0:t1]),
-            jnp.asarray(a.top_parent[t0:t1]),
-            jnp.asarray(a.bricks[b0:b1]), jnp.int32(t0), jnp.int32(b0))
+        # group by brick offset (the big axis; top spans track brick spans)
+        # so slot recycling can't trigger near-full re-uploads (ADVICE r04)
+        groups = _coalesce_spans(spans, self.COALESCE_SLACK, off_idx=2,
+                                 len_idx=3)
         n = len(spans)
+        a = self.barena
+
+        def _pad(lo, hi, cap):
+            # power-of-two upload lengths keep the donated program's shape
+            # set small (same scheme as DeviceArena.sync)
+            ln = 1
+            while ln < hi - lo:
+                ln <<= 1
+            if ln >= cap:
+                return 0, cap
+            return (lo if lo + ln <= cap else cap - ln), ln
+
+        for g in groups:
+            t0 = min(s[0] for s in g)
+            t1 = max(s[0] + s[1] for s in g)
+            b0 = min(s[2] for s in g)
+            b1 = max(s[2] + s[3] for s in g)
+            t0, tl = _pad(t0, max(t1, t0 + 1), self.top_masks.shape[0])
+            t1 = t0 + tl
+            b0, bl = _pad(b0, max(b1, b0 + 1), self.bricks.shape[0])
+            b1 = b0 + bl
+            (self.top_masks, self.top_child, self.top_parent,
+             self.bricks) = _dev_apply_brick_spans(
+                self.top_masks, self.top_child, self.top_parent,
+                self.bricks, jnp.asarray(a.top_masks[t0:t1]),
+                jnp.asarray(a.top_child[t0:t1]),
+                jnp.asarray(a.top_parent[t0:t1]),
+                jnp.asarray(a.bricks[b0:b1]), jnp.int32(t0), jnp.int32(b0))
         spans.clear()
         return n
 
@@ -572,23 +620,9 @@ class DeviceArena:
     COALESCE_SLACK = 8
 
     def _coalesce(self, spans):
-        """Greedy grouping of dirty spans by node offset: a span joins the
-        current group while the group's node bounding range stays within
-        COALESCE_SLACK x the summed span lengths (the single-dispatch fast
-        path covers the append-like common case; recycled-slot patterns
-        split into a few uploads instead of a near-full-arena one)."""
-        spans = sorted(spans, key=lambda s: s[0])
-        groups = [[spans[0]]]
-        lo, hi, tot = spans[0][0], spans[0][0] + spans[0][1], spans[0][1]
-        for s in spans[1:]:
-            nhi = max(hi, s[0] + s[1])
-            if (nhi - lo) <= self.COALESCE_SLACK * (tot + s[1]):
-                groups[-1].append(s)
-                hi, tot = nhi, tot + s[1]
-            else:
-                groups.append([s])
-                lo, hi, tot = s[0], s[0] + s[1], s[1]
-        return groups
+        """Greedy grouping of dirty spans by node offset (shared
+        _coalesce_spans helper; see its docstring)."""
+        return _coalesce_spans(spans, self.COALESCE_SLACK)
 
 
 @partial(jax.jit, static_argnames=("trunk_depth", "chunk_depth",
