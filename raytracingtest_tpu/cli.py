@@ -60,7 +60,25 @@ def cmd_render(args):
         width=args.width, height=args.height,
         ortho_height=args.ortho_height)
     rnd = RenderConfig(samples=args.samples, volumetric_k=args.volumetric_k)
-    if args.lod_coef > 0.0:
+    if args.skybox:
+        # real environment map on miss (the reference's HDR cubemap sample,
+        # RaytraceCompute.compute:117-126 + daytime.hdr/sunset.hdr assets):
+        # load a Radiance .hdr (io/hdr.py) or any PIL-readable image, or
+        # bake the procedural daytime map with --skybox procedural
+        from raytracingtest_tpu.io import hdr as hdr_mod
+        from raytracingtest_tpu.models.renderers import _camera
+        from raytracingtest_tpu.render import render_progressive
+        if args.skybox == "procedural":
+            tex = hdr_mod.make_sky_hdr()
+        elif args.skybox.lower().endswith(".hdr"):
+            tex = hdr_mod.load_hdr(args.skybox)
+        else:
+            from PIL import Image
+            tex = np.asarray(Image.open(args.skybox).convert("RGB"),
+                             np.float32) / 255.0
+        img = render_progressive(svo, _camera(cam), n_samples=args.samples,
+                                 skybox=tex)
+    elif args.lod_coef > 0.0:
         # LOD render (Trace.cu:135-136 ray_size semantics) through the
         # production brick path; interior hits shade from averaged node
         # attributes (ops/lod.py)
@@ -333,6 +351,10 @@ def main(argv=None):
     pr.add_argument("--specular", type=float, default=0.0,
                     help="mirror reflectance per bounce (ref ships 0)")
     pr.add_argument("--volumetric-k", type=int, default=0)
+    pr.add_argument("--skybox", default="",
+                    help="environment map sampled on miss: a Radiance .hdr "
+                    "file, any image file, or 'procedural' (baked daytime "
+                    "map with an HDR sun disc)")
     pr.add_argument("--out", default="render.png")
     pr.set_defaults(fn=cmd_render)
 
