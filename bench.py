@@ -119,18 +119,22 @@ def main():
         target_t = jnp.zeros((o.shape[0], 3), jnp.float32)
         tile_k = int(os.environ.get("BENCH_TILE_K", "96"))
         tile_fbt = int(os.environ.get("BENCH_FBT", "96"))
+        # sub-tile re-walk budget: the r5 default (16 tiles, 2x2 split)
+        # drives the bench config's residual to 0 for ~2.5 ms
+        tile_fb2 = int(os.environ.get("BENCH_FB2", "16"))
         if mode == "fwd":
             def run(tag):
                 img, residual = diff.render_diff_tile(
                     albedo, normal, density, tsvo, o_t, d_t, corners,
-                    light + tag, k_max=tile_k, fb_tiles=tile_fbt)
+                    light + tag, k_max=tile_k, fb_tiles=tile_fbt,
+                    fb2_tiles=tile_fb2)
                 return jnp.sum(img) + residual
         else:
             def run(tag):
                 (loss, residual), grads = diff.loss_and_grads_tile(
                     albedo, normal, density, tsvo, o_t, d_t, corners,
                     light + tag, target_t, k_max=tile_k,
-                    fb_tiles=tile_fbt)
+                    fb_tiles=tile_fbt, fb2_tiles=tile_fb2)
                 gsum = sum(jnp.sum(jnp.abs(g))
                            for g in jax.tree_util.tree_leaves(grads))
                 return loss + gsum + residual
@@ -218,7 +222,8 @@ def main():
         def run_fwd(tag):
             img, residual = diff.render_diff_tile(
                 albedo, normal, density, tsvo, o_t, d_t, corners,
-                light + tag, k_max=tile_k, fb_tiles=tile_fbt)
+                light + tag, k_max=tile_k, fb_tiles=tile_fbt,
+                fb2_tiles=tile_fb2)
             return jnp.sum(img) + residual
         for i in range(5):
             float(run_fwd(zero * i))

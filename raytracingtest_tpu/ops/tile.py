@@ -67,12 +67,22 @@ TILE_WALKER = _os.environ.get("RTT_TILE_WALKER", "window")
 TILE_WIN = int(_os.environ.get("RTT_TILE_WIN", "4"))
 TILE_LOADS = int(_os.environ.get("RTT_TILE_LOADS", "2"))
 TILE_SKIPS = int(_os.environ.get("RTT_TILE_SKIPS", "3"))
+# fallback-walk window: fb lists run to fb_k=256 candidates, so the walker
+# there is load-trip-bound — wide loads cut its trip count ~4x (r5 measured)
+FB_WIN = int(_os.environ.get("RTT_TILE_FB_WIN", "8"))
+FB_LOADS = int(_os.environ.get("RTT_TILE_FB_LOADS", "8"))
+FB_SKIPS = int(_os.environ.get("RTT_TILE_FB_SKIPS", "6"))
 
 
 def _walk_chunk(st, codes, ids, t_codes, bricks, depth, top_depth, k_max,
-                dda_unroll=6):
+                dda_unroll=6, win=None, loads=None, skips=None):
     """Dispatch to the selected walker; returns (hit_leaf, hit_t, iters,
-    unfin) with unfin the backstop-bail mask (always False for lockstep)."""
+    unfin) with unfin the backstop-bail mask (always False for lockstep).
+    win/loads/skips default to the module knobs; call sites with long
+    candidate lists (the enlarged-K fallback re-walk) pass wider values —
+    a k-candidate tile needs ceil(k/loads) load trips, and at fb_k=256 the
+    loads=2 default made the fallback walk cost MORE device time than the
+    whole main walk (r5 profile trace)."""
     if TILE_WALKER == "lockstep":
         hl, ht, it = _walk_chunk_lockstep(st, codes, ids, t_codes, bricks,
                                           depth, top_depth, k_max,
@@ -80,8 +90,8 @@ def _walk_chunk(st, codes, ids, t_codes, bricks, depth, top_depth, k_max,
         return hl, ht, it, jnp.zeros_like(st["miss0"])
     return _walk_chunk_window(st, codes, ids, t_codes, bricks, depth,
                               top_depth, k_max, dda_unroll=dda_unroll,
-                              win=TILE_WIN, loads=TILE_LOADS,
-                              skips=TILE_SKIPS)
+                              win=win or TILE_WIN, loads=loads or TILE_LOADS,
+                              skips=skips or TILE_SKIPS)
 
 
 # ---------------------------------------------------------------------------
@@ -291,38 +301,53 @@ def _candidates(pyr, cellmap, corners, apex, top_depth, caps, k_max):
 
     for l in range(1, top_depth + 1):
         c_prev = codes.shape[1]
+        W = c_prev * 8
         valid_p = codes >= 0
         safe = jnp.where(valid_p, codes, 0)
         # one u32 word holds all 8 children's occupancy bits
         word = jnp.take(pyr, _pyr_layout(top_depth)[0][l] + (safe >> 2),
                         axis=0)                       # (T,C) uint32
-        child = safe[:, :, None] * 8 + jnp.arange(8, dtype=i32)  # (T,C,8)
-        shift = (((safe & 3) << 3)[:, :, None].astype(jnp.uint32)
-                 + jnp.arange(8, dtype=jnp.uint32))
-        cbit = (word[:, :, None] >> shift) & jnp.uint32(1)
-        occ = (cbit != 0) & valid_p[:, :, None]
+        # ALL per-cell math runs on flattened (T, C*8) arrays with one
+        # scalar array per axis/plane: a trailing dim of 3/4/8 would waste
+        # most of each (8,128) vreg (measured: the einsum formulation with
+        # (T,C,8,4) intermediates cost ~12 ms/frame at 1024^2; this
+        # flattened form is the same flop count at full lane utilization)
+        rep8 = lambda x: jnp.repeat(x, 8, axis=1)     # (T,C) -> (T,W)
+        oct8 = jnp.tile(jnp.arange(8, dtype=i32), (1, c_prev))  # (1,W)
+        child = rep8(safe * 8) + oct8                 # (T,W)
+        shift = (rep8((safe & 3) << 3).astype(jnp.uint32)
+                 + oct8.astype(jnp.uint32))
+        occ = ((rep8(word) >> shift) & jnp.uint32(1)) != 0
+        occ = occ & rep8(valid_p)
 
         cx, cy, cz = unmorton3(child)
         half = f32(2.0 ** -(l + 1))
-        ctr = jnp.stack([cx, cy, cz], axis=-1).astype(f32) * f32(2.0 ** -l) + half
+        cell = f32(2.0 ** -l)
+        rx = (cx.astype(f32) * cell + half) - apex[0]
+        ry = (cy.astype(f32) * cell + half) - apex[1]
+        rz = (cz.astype(f32) * cell + half) - apex[2]
 
-        rel = ctr - apex[None, None, None, :]         # (T,C,8,3)
         # 4 frustum side planes: outside iff dist(center) + r < 0
-        pd = jnp.einsum("tpx,tcjx->tcjp", planes, rel)
         pr = jnp.sum(jnp.abs(planes), axis=2) * half  # (T,4)
-        in_frustum = jnp.all(pd + pr[:, None, None, :] >= 0, axis=-1)
+        in_frustum = occ                              # fold cull chain
+        for p in range(4):
+            pd = (planes[:, p, 0, None] * rx + planes[:, p, 1, None] * ry
+                  + planes[:, p, 2, None] * rz)
+            in_frustum = in_frustum & (pd + pr[:, p, None] >= 0)
         # view half-space: box entirely behind apex is out
-        fd = jnp.einsum("tx,tcjx->tcj", fwd, rel)
-        fr = jnp.sum(jnp.abs(fwd), axis=1)[:, None, None] * half
-        ahead = fd + fr >= 0
+        fd = (fwd[:, 0, None] * rx + fwd[:, 1, None] * ry
+              + fwd[:, 2, None] * rz)
+        fr = jnp.sum(jnp.abs(fwd), axis=1)[:, None] * half
+        keep = in_frustum & (fd + fr >= 0)
 
-        keep = occ & in_frustum & ahead
         # conservative entry-t lower bound: euclidean distance from the
         # apex to the box (per-ray entry t >= distance since |d| = 1);
         # tighter than chebyshev, so fewer dropped-candidate false alarms
         # in the unresolved accounting
-        ax = jnp.maximum(jnp.abs(rel) - half, 0.0)
-        t_lb = jnp.sqrt(jnp.sum(ax * ax, axis=-1))
+        ax = jnp.maximum(jnp.abs(rx) - half, 0.0)
+        ay = jnp.maximum(jnp.abs(ry) - half, 0.0)
+        az = jnp.maximum(jnp.abs(rz) - half, 0.0)
+        t_lb = jnp.sqrt(ax * ax + ay * ay + az * az)
 
         # pack (quantized t | morton code) and sort: compaction + ordering
         code_bits = 3 * l
@@ -330,7 +355,7 @@ def _candidates(pyr, cellmap, corners, apex, top_depth, caps, k_max):
         qmax = (1 << qbits) - 2 if qbits else 0
         q = jnp.clip((t_lb * f32((1 << qbits) / 4.0)).astype(i32), 0, qmax)
         val = jnp.where(keep, (q << code_bits) | child, _SENTINEL)
-        val = jnp.sort(val.reshape(T, c_prev * 8), axis=1)
+        val = jnp.sort(val, axis=1)
 
         cap = min(caps[l] if l < len(caps) else caps[-1], 8 ** l)
         if l == top_depth:
@@ -392,15 +417,17 @@ def _mirrored_brick_corner(code, om, top_depth):
 
 
 def _sel16b(words, w):
-    """Per-lane select words[t, w[t,p]] with words (Tc,16), w (Tc,P).
-    16-way masked accumulate: a pure elementwise chain on (Tc,P) operands
-    (keeps everything in vector registers — a select tree over (Tc,P,8)
-    slices materializes MBs of intermediates per DDA step)."""
-    acc = jnp.zeros_like(w, dtype=words.dtype)
-    for j in range(16):
-        acc = acc | jnp.where(w == j, words[:, j, None],
-                              jnp.zeros_like(words[:, :1]))
-    return acc
+    """Per-lane select words[t, w[t,p]] with words (Tc,16), w (Tc,P):
+    binary mux tree on w's 4 bits — 15 selects + 4 bit tests on (Tc,P)
+    operands (the 16-way masked-accumulate chain costs 48; a gather-style
+    select over (Tc,P,8) slices materializes MBs of intermediates per DDA
+    step — this stays in vector registers)."""
+    sel = [words[:, j, None] for j in range(16)]
+    for k in range(4):
+        bit = (w & (1 << k)) != 0
+        sel = [jnp.where(bit, sel[2 * j + 1], sel[2 * j])
+               for j in range(len(sel) // 2)]
+    return sel[0]
 
 
 def _walk_chunk_window(st, codes, ids, t_codes, bricks, depth, top_depth,
@@ -465,6 +492,14 @@ def _walk_chunk_window(st, codes, ids, t_codes, bricks, depth, top_depth,
         iters=zi2,
     )
     slot_iota = jnp.arange(win, dtype=i32)[None, :]          # (1,win)
+    # candidate metadata packed to ONE row table so the in-loop load is a
+    # single take_along_axis + one bricks gather regardless of `loads`:
+    # gathers are fusion barriers on TPU, and the unbatched form paid 4
+    # gather kernels PER load PER trip — the per-kernel launch overhead
+    # made widening `loads` a net loss (r5 profile trace)
+    cand3 = jnp.stack(
+        [ids, codes, jax.lax.bitcast_convert_type(t_codes, i32)],
+        axis=-1).reshape(ids.shape[0], k_max * 3)
 
     def body(c):
         # ---- per-tile rotating loads: stream up to `loads` candidates per
@@ -479,22 +514,35 @@ def _walk_chunk_window(st, codes, ids, t_codes, bricks, depth, top_depth,
         base, list_end = c["base"], c["list_end"]
         win_words, win_bid = c["win_words"], c["win_bid"]
         win_code, win_tlb = c["win_code"], c["win_tlb"]
-        for _ in range(loads):
+        # batched fetch of candidates base..base+loads-1 (the insert loop
+        # below discards any the guards reject — a rejected candidate's
+        # insertion conditions are suffix-closed, so candidate j inserts
+        # iff all i<j did, exactly as the one-at-a-time form)
+        Tc_ = base.shape[0]
+        kk = jnp.minimum(base[:, None] + jnp.arange(loads, dtype=i32),
+                         k_max - 1)                              # (Tc,L)
+        meta = jnp.take_along_axis(
+            cand3, (kk[:, :, None] * 3
+                    + jnp.arange(3, dtype=i32)).reshape(Tc_, loads * 3),
+            axis=1).reshape(Tc_, loads, 3)
+        id_b = meta[..., 0]
+        code_b = meta[..., 1]
+        tlb_b = jax.lax.bitcast_convert_type(meta[..., 2], jnp.float32)
+        nwords_b = jnp.take(bricks, jnp.maximum(id_b, 0).reshape(-1),
+                            axis=0)[:, :16].reshape(Tc_, loads, 16)
+        for j in range(loads):
             can_load = ((m >= base - (win - 1)) & ~list_end
                         & (base < k_max) & any_act)
-            kk = jnp.minimum(base, k_max - 1)[:, None]
-            id_k = jnp.take_along_axis(ids, kk, axis=1)[:, 0]
-            code_k = jnp.take_along_axis(codes, kk, axis=1)[:, 0]
-            tlb_k = jnp.take_along_axis(t_codes, kk, axis=1)[:, 0]
-            nwords = jnp.take(bricks, jnp.maximum(id_k, 0), axis=0)[:, :16]
+            id_k = id_b[:, j]
             sm = ((slot_iota == (base & (win - 1))[:, None])
                   & can_load[:, None])                           # (Tc,win)
-            win_words = jnp.where(sm[..., None], nwords[:, None, :],
+            win_words = jnp.where(sm[..., None], nwords_b[:, None, j],
                                   win_words)
             win_bid = jnp.where(sm, id_k[:, None], win_bid)
             win_tlb = jnp.where(
-                sm, jnp.where(id_k >= 0, tlb_k, jnp.inf)[:, None], win_tlb)
-            win_code = jnp.where(sm, code_k[:, None], win_code)
+                sm, jnp.where(id_k >= 0, tlb_b[:, j], jnp.inf)[:, None],
+                win_tlb)
+            win_code = jnp.where(sm, code_b[:, j:j + 1], win_code)
             base = base + can_load.astype(i32)
             list_end = list_end | (can_load & (id_k < 0))
 
@@ -632,12 +680,13 @@ def _walk_chunk_window(st, codes, ids, t_codes, bricks, depth, top_depth,
 
 def _sel16r(rwords, w):
     """Per-lane select rwords[t, p, w[t,p]] with rwords (Tc,P,16): the same
-    16-way masked accumulate as _sel16b but against a per-ray word cache."""
-    acc = jnp.zeros_like(w, dtype=rwords.dtype)
-    for j in range(16):
-        acc = acc | jnp.where(w == j, rwords[:, :, j],
-                              jnp.zeros_like(rwords[:, :1, 0]))
-    return acc
+    binary mux tree as _sel16b against the per-ray word cache."""
+    sel = [rwords[:, :, j] for j in range(16)]
+    for k in range(4):
+        bit = (w & (1 << k)) != 0
+        sel = [jnp.where(bit, sel[2 * j + 1], sel[2 * j])
+               for j in range(len(sel) // 2)]
+    return sel[0]
 
 
 def _resolve_hits(carry, bricks, Tc, P):
@@ -808,7 +857,11 @@ def _walk_chunk_lockstep(st, codes, ids, t_codes, bricks, depth, top_depth,
          static_argnames=("depth", "top_depth", "caps", "k_max",
                           "chunk_tiles", "dda_unroll"))
 def _trace_tile(pyr, cellmap, bricks, o, d, corners, apex, depth, top_depth,
-                caps, k_max, chunk_tiles, dda_unroll=6):
+                caps, k_max, chunk_tiles, dda_unroll=8, brickmap=None):
+    """brickmap (optional int32 [n_cells_occupied]): indirection from the
+    pyramid's morton-rank brick id to a row of `bricks` — lets one walk
+    serve bricks living at arbitrary offsets of a streaming arena
+    (stream/clipmap.py master_tile); None = identity (monolithic SVO)."""
     T, P = o.shape[0], o.shape[1]
     n = T * P
     if not (chunk_tiles and T % chunk_tiles == 0 and T > chunk_tiles):
@@ -822,6 +875,9 @@ def _trace_tile(pyr, cellmap, bricks, o, d, corners, apex, depth, top_depth,
             lambda c: _candidates(pyr, cellmap, c, apex, top_depth, caps,
                                   k_max),
             corners.reshape(g, chunk_tiles, 4, 3)))
+    if brickmap is not None:
+        ids = jnp.where(ids >= 0, jnp.take(brickmap, jnp.maximum(ids, 0)),
+                        -1)
 
     # schedule: sort tiles by candidate count so each walk chunk holds
     # uniformly-expensive tiles (the chunk serializes on its worst tile)
@@ -846,7 +902,8 @@ def _trace_tile(pyr, cellmap, bricks, o, d, corners, apex, depth, top_depth,
 
 
 def _walk_tiles_chunk(bricks, o, d, codes, ids, t_codes, drop_t, *, depth,
-                      top_depth, k_max, dda_unroll=6):
+                      top_depth, k_max, dda_unroll=8, win=None, loads=None,
+                      skips=None):
     Tc, P = o.shape[0], o.shape[1]
     n = Tc * P
     st0 = init_state(o.reshape(n, 3), d.reshape(n, 3), top_depth, jnp)
@@ -859,7 +916,7 @@ def _walk_tiles_chunk(bricks, o, d, codes, ids, t_codes, drop_t, *, depth,
     )
     hit_leaf, hit_t, iters, unfin = _walk_chunk(
         st, codes, ids, t_codes, bricks, depth, top_depth, k_max,
-        dda_unroll=dda_unroll)
+        dda_unroll=dda_unroll, win=win, loads=loads, skips=skips)
 
     # the walk visits every candidate that could matter; the loss channels
     # left are per-level cap dropping (bounded by drop_t per tile) and the
@@ -887,7 +944,7 @@ def _default_caps(top_depth, k_max):
 
 
 def trace_tile(tsvo: TileSVO, o, d, corners, k_max=48, caps=None,
-               chunk_tiles=256, dda_unroll=6):
+               chunk_tiles=256, dda_unroll=8):
     """Tile-amortized trace. o/d: (T, P, 3) tile-major rays (tile_rays),
     corners: (T, 4, 3). Returns (TraceResult (T*P,), unresolved (T*P,)).
     Resolved rays' hit_leaf / hit_t are bit-identical to trace_jax; the
@@ -904,63 +961,164 @@ def trace_tile(tsvo: TileSVO, o, d, corners, k_max=48, caps=None,
         tsvo.depth, tsvo.top_depth, caps, k_max, chunk_tiles, dda_unroll)
 
 
+def _subtile_split(o_s, d_s, c_s, split):
+    """Split (Ts, P, 3) tiles into (Ts*split^2, P/split^2, 3) sub-tiles.
+
+    Camera ray directions are affine in pixel coordinates, so the sub-tile
+    corner directions are EXACT bilinear interpolations of the parent
+    tile's 4 pixel-boundary corners (cyclic order [tl, tr, br, bl] from
+    tile_rays) — the sub-frustum planes contain exactly the sub-tile's
+    boundary rays. Returns (o2, d2, corners2); sub-tile order is (sy, sx)
+    row-major, within-sub pixels row-major (_subtile_merge inverts it)."""
+    Ts, P = o_s.shape[0], o_s.shape[1]
+    px = int(round(P ** 0.5))
+    q = px // split
+    assert q * split == px, (P, split)
+
+    def regroup(x):
+        x = x.reshape(Ts, split, q, split, q, 3)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(Ts * split * split, q * q, 3)
+
+    o2, d2 = regroup(o_s), regroup(d_s)
+    c00, c01, c11, c10 = (c_s[:, j] for j in range(4))
+    f = jnp.arange(split + 1, dtype=jnp.float32) / split
+    fy = f[:, None, None, None]
+    fx = f[None, :, None, None]
+    grid = (c00[None, None] * (1 - fx) * (1 - fy)
+            + c01[None, None] * fx * (1 - fy)
+            + c11[None, None] * fx * fy
+            + c10[None, None] * (1 - fx) * fy)        # (s+1, s+1, Ts, 3)
+    sub = jnp.stack([grid[:-1, :-1], grid[:-1, 1:], grid[1:, 1:],
+                     grid[1:, :-1]], axis=2)          # (s, s, 4, Ts, 3)
+    c2 = sub.transpose(3, 0, 1, 2, 4).reshape(Ts * split * split, 4, 3)
+    return o2, d2, c2
+
+
+def _subtile_merge(x, n_tiles, split, q):
+    """Inverse of _subtile_split's ray regrouping: (Ts*s^2, q^2) -> (Ts, P)."""
+    x = x.reshape(n_tiles, split, split, q, q)
+    x = x.transpose(0, 1, 3, 2, 4)
+    return x.reshape(n_tiles, split * split * q * q)
+
+
+def _fb2_caps(top_depth, fb_k):
+    """Doubling ramp for the sub-tile re-walk: frustum volume is split^2
+    smaller, so a generous-but-bounded ramp replaces the all-cells caps."""
+    caps = [1]
+    for l in range(1, top_depth + 1):
+        caps.append(min(fb_k, 8 ** l, 8 << l))
+    return tuple(caps)
+
+
 @partial(jax.jit,
          static_argnames=("depth", "top_depth", "caps", "k_max",
-                          "chunk_tiles", "fb_tiles", "fb_k"))
+                          "chunk_tiles", "fb_tiles", "fb_k", "fb2_tiles",
+                          "fb2_split"))
 def _trace_tile_fb(pyr, cellmap, bricks, o, d, corners, apex, depth,
-                   top_depth, caps, k_max, chunk_tiles, fb_tiles, fb_k):
-    """trace_tile + in-jit enlarged-K tile re-walk fallback.
+                   top_depth, caps, k_max, chunk_tiles, fb_tiles, fb_k,
+                   fb2_tiles=0, fb2_split=2):
+    """trace_tile + in-jit enlarged-K tile re-walk fallback (+ optional
+    sub-tile re-walk for cap-saturated tiles).
 
     Unresolved rays exist only because per-level candidate caps dropped a
     candidate whose conservative t could precede a ray's hit. They cluster
     in few (horizon-band) tiles, so instead of re-tracing rays on the
     ~30 ms per-ray brick path (the r3 fallback), the fb_tiles tiles that
     contain unresolved rays are RE-WALKED with enlarged caps (fb_k
-    candidates) — one extra chunk walk, same program. Returns (TraceResult,
-    residual mask): residual rays are those in unresolved tiles beyond the
-    fb_tiles bucket or still cap-limited at fb_k (typically none; callers
-    surface the count rather than silently dropping it)."""
+    candidates) — one extra chunk walk, same program.
+
+    Horizon-grazing tiles at depth >= 12 can saturate even fb_k=256 (the
+    r4 saturation profile: scratch/r4_d12sat.py); when fb2_tiles > 0, the
+    tiles still unresolved after the enlarged-K pass are SPLIT into
+    fb2_split^2 sub-tiles (frustum volume ~split^2 smaller, so candidate
+    lists shrink accordingly) and re-walked per sub-tile with exact
+    bilinear sub-corners (_subtile_split).
+
+    Returns (TraceResult, residual mask): residual rays are those in
+    unresolved tiles beyond the fb/fb2 tile budgets or still cap-limited
+    after every pass (typically none; callers surface the count rather
+    than silently dropping it)."""
     T, P = o.shape[0], o.shape[1]
     fb_tiles = min(fb_tiles, T)
     res, unresolved = _trace_tile(pyr, cellmap, bricks, o, d, corners, apex,
                                   depth, top_depth, caps, k_max, chunk_tiles)
     un = unresolved.reshape(T, P)
-    un_tile = jnp.any(un, axis=1)
-    order = jnp.argsort(~un_tile)               # unresolved tiles first
-    sel_t = order[:fb_tiles]
-    m_t = jnp.take(un_tile, sel_t)              # real (non-padding) tiles
-
-    o_s = jnp.take(o, sel_t, axis=0)
-    d_s = jnp.take(d, sel_t, axis=0)
-    c_s = jnp.take(corners, sel_t, axis=0)
-    # generous caps: the re-walk exists to undo cap-dropping, so every
-    # level keeps up to fb_k candidates (clipped to the level's 8^l cells)
-    caps2 = tuple(min(fb_k, 8 ** l) for l in range(top_depth + 1))
-    codes2, ids2, t2, drop2 = _candidates(pyr, cellmap, c_s, apex,
-                                          top_depth, caps2, fb_k)
-    hit2, t_hit2, _it2, un2 = _walk_tiles_chunk(
-        bricks, o_s, d_s, codes2, ids2, t2, drop2, depth=depth,
-        top_depth=top_depth, k_max=fb_k)
-
     hl = res.hit_leaf.reshape(T, P)
     ht = res.hit_t.reshape(T, P)
-    rep = m_t[:, None]
-    hl = hl.at[sel_t].set(jnp.where(rep, hit2, jnp.take(hl, sel_t, axis=0)))
-    ht = ht.at[sel_t].set(jnp.where(rep, t_hit2,
-                                    jnp.take(ht, sel_t, axis=0)))
-    # after substitution `un` IS the residual: re-walked tiles carry their
-    # re-walk unresolved mask, uncovered tiles keep the original one
-    un = un.at[sel_t].set(jnp.where(rep, un2, jnp.take(un, sel_t, axis=0)))
+
+    if fb_tiles:
+        un_tile = jnp.any(un, axis=1)
+        order = jnp.argsort(~un_tile)           # unresolved tiles first
+        sel_t = order[:fb_tiles]
+        m_t = jnp.take(un_tile, sel_t)          # real (non-padding) tiles
+
+        o_s = jnp.take(o, sel_t, axis=0)
+        d_s = jnp.take(d, sel_t, axis=0)
+        c_s = jnp.take(corners, sel_t, axis=0)
+        # generous caps: the re-walk exists to undo cap-dropping, so every
+        # level keeps up to fb_k candidates (clipped to the level's 8^l
+        # cells)
+        caps2 = tuple(min(fb_k, 8 ** l) for l in range(top_depth + 1))
+        codes2, ids2, t2, drop2 = _candidates(pyr, cellmap, c_s, apex,
+                                              top_depth, caps2, fb_k)
+        # wide window for the long fb_k lists
+        hit2, t_hit2, _it2, un2 = _walk_tiles_chunk(
+            bricks, o_s, d_s, codes2, ids2, t2, drop2, depth=depth,
+            top_depth=top_depth, k_max=fb_k, win=FB_WIN, loads=FB_LOADS,
+            skips=FB_SKIPS)
+
+        rep = m_t[:, None]
+        hl = hl.at[sel_t].set(jnp.where(rep, hit2,
+                                        jnp.take(hl, sel_t, axis=0)))
+        ht = ht.at[sel_t].set(jnp.where(rep, t_hit2,
+                                        jnp.take(ht, sel_t, axis=0)))
+        # after substitution `un` IS the residual: re-walked tiles carry
+        # their re-walk unresolved mask, uncovered tiles keep the original
+        un = un.at[sel_t].set(jnp.where(rep, un2,
+                                        jnp.take(un, sel_t, axis=0)))
+
+    if fb2_tiles:
+        fb2_tiles = min(fb2_tiles, T)
+        un_tile2 = jnp.any(un, axis=1)
+        order2 = jnp.argsort(~un_tile2)
+        sel2 = order2[:fb2_tiles]
+        m2 = jnp.take(un_tile2, sel2)
+        o3, d3, c3 = _subtile_split(jnp.take(o, sel2, axis=0),
+                                    jnp.take(d, sel2, axis=0),
+                                    jnp.take(corners, sel2, axis=0),
+                                    fb2_split)
+        caps3 = _fb2_caps(top_depth, fb_k)
+        codes3, ids3, t3, drop3 = _candidates(pyr, cellmap, c3, apex,
+                                              top_depth, caps3, fb_k)
+        hit3, t_hit3, _it3, un3 = _walk_tiles_chunk(
+            bricks, o3, d3, codes3, ids3, t3, drop3, depth=depth,
+            top_depth=top_depth, k_max=fb_k, win=FB_WIN, loads=FB_LOADS,
+            skips=FB_SKIPS)
+        q = int(round(P ** 0.5)) // fb2_split
+        hit3 = _subtile_merge(hit3, fb2_tiles, fb2_split, q)
+        t_hit3 = _subtile_merge(t_hit3, fb2_tiles, fb2_split, q)
+        un3 = _subtile_merge(un3, fb2_tiles, fb2_split, q)
+        rep2 = m2[:, None]
+        hl = hl.at[sel2].set(jnp.where(rep2, hit3,
+                                       jnp.take(hl, sel2, axis=0)))
+        ht = ht.at[sel2].set(jnp.where(rep2, t_hit3,
+                                       jnp.take(ht, sel2, axis=0)))
+        un = un.at[sel2].set(jnp.where(rep2, un3,
+                                       jnp.take(un, sel2, axis=0)))
+
     return TraceResult(hl.reshape(T * P), ht.reshape(T * P),
                        res.hit_parent, res.hit_child, res.iters), \
         un.reshape(T * P)
 
 
 def trace_tile_fb(tsvo: TileSVO, o, d, corners, k_max=64, caps=None,
-                  chunk_tiles=256, fb_tiles=128, fb_k=256):
+                  chunk_tiles=256, fb_tiles=128, fb_k=256, fb2_tiles=0,
+                  fb2_split=2):
     """Single-dispatch tile trace with in-jit enlarged-K tile re-walk
-    fallback. The residual mask is nonzero only when unresolved rays span
-    more than fb_tiles tiles or stay cap-limited at fb_k candidates."""
+    fallback (+ sub-tile re-walk when fb2_tiles > 0). The residual mask is
+    nonzero only when unresolved rays span more than the fb tile budgets
+    or stay cap-limited after every pass."""
     o = jnp.asarray(o, jnp.float32)
     d = jnp.asarray(d, jnp.float32)
     caps = caps or _default_caps(tsvo.top_depth, k_max)
@@ -970,18 +1128,21 @@ def trace_tile_fb(tsvo: TileSVO, o, d, corners, k_max=64, caps=None,
         jnp.asarray(b.bricks),
         o, d, jnp.asarray(corners, jnp.float32), o[0, 0],
         tsvo.depth, tsvo.top_depth, caps, k_max, chunk_tiles, fb_tiles,
-        fb_k)
+        fb_k, fb2_tiles, fb2_split)
 
 
 def trace_tile_exact(tsvo: TileSVO, o, d, corners, k_max=48, caps=None,
-                     chunk_tiles=256, fb_tiles=128, fb_k=256) -> TraceResult:
-    """Exact tile trace: the in-jit enlarged-K re-walk resolves nearly all
-    cap-dropped rays in the same dispatch; any residual rays (rare) are
-    re-traced per-ray on the host-sync brick path."""
+                     chunk_tiles=256, fb_tiles=128, fb_k=256,
+                     fb2_tiles=32) -> TraceResult:
+    """Exact tile trace: the in-jit enlarged-K re-walk (then the sub-tile
+    re-walk) resolves nearly all cap-dropped rays in the same dispatch;
+    any residual rays (rare) are re-traced per-ray on the host-sync brick
+    path."""
     from raytracingtest_tpu.ops import brick as brick_mod
     res, unresolved = trace_tile_fb(tsvo, o, d, corners, k_max=k_max,
                                     caps=caps, chunk_tiles=chunk_tiles,
-                                    fb_tiles=fb_tiles, fb_k=fb_k)
+                                    fb_tiles=fb_tiles, fb_k=fb_k,
+                                    fb2_tiles=fb2_tiles)
     n_un = int(jnp.sum(unresolved))
     if n_un == 0:
         return res

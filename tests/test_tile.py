@@ -147,3 +147,52 @@ def test_tile_empty_scene_and_inside_camera():
                             jnp.asarray(d2.reshape(-1, 3)))
     np.testing.assert_array_equal(np.asarray(r0.hit_leaf),
                                   np.asarray(r2.hit_leaf))
+
+
+@pytest.mark.parametrize("split", [2, 4])
+def test_subtile_rewalk_exact(split):
+    """The fb2 sub-tile re-walk must resolve cap-starved tiles exactly:
+    with tiny main caps and a tiny fb_k, the sub-tile pass (whose frustums
+    are split^2 narrower) substitutes bit-identical hits."""
+    svo, ts, o, d, corners = _setup("terrain", 6)
+    caps = (1, 2, 2, 2)
+    r0 = traverse.trace_jax(svo, jnp.asarray(o.reshape(-1, 3)),
+                            jnp.asarray(d.reshape(-1, 3)))
+    # fb starved too (fb_k=4) so fb2 has real work; fb2 budget covers all
+    r1, un1 = tile.trace_tile_fb(ts, o, d, corners, k_max=2, caps=caps,
+                                 fb_tiles=4, fb_k=4)
+    r2, un2 = tile.trace_tile_fb(ts, o, d, corners, k_max=2, caps=caps,
+                                 fb_tiles=4, fb_k=4,
+                                 fb2_tiles=o.shape[0], fb2_split=split)
+    # fb2 strictly reduces the residual set and never flips a resolved hit
+    assert int(jnp.sum(un2)) <= int(jnp.sum(un1))
+    ok = ~np.asarray(un2)
+    np.testing.assert_array_equal(np.asarray(r0.hit_leaf)[ok],
+                                  np.asarray(r2.hit_leaf)[ok])
+    hit = ok & (np.asarray(r0.hit_leaf) >= 0)
+    np.testing.assert_array_equal(np.asarray(r0.hit_t)[hit],
+                                  np.asarray(r2.hit_t)[hit])
+
+
+def test_subtile_split_roundtrip():
+    """_subtile_split regroups rays consistently with _subtile_merge, and
+    sub-corner directions bound their sub-tile's rays (frustum planes
+    through interpolated corners keep every contained ray inside)."""
+    svo, ts, o, d, corners = _setup("terrain", 5)
+    split = 4
+    o2, d2, c2 = tile._subtile_split(jnp.asarray(o), jnp.asarray(d),
+                                     jnp.asarray(corners), split)
+    T, P = o.shape[0], o.shape[1]
+    q = int(round(P ** 0.5)) // split
+    # merge(split(x)) == x for a per-ray payload
+    payload = jnp.arange(T * P, dtype=jnp.int32).reshape(T, P)
+    osplit = tile._subtile_split(
+        jnp.broadcast_to(payload[..., None], (T, P, 3)).astype(jnp.float32),
+        jnp.asarray(d), jnp.asarray(corners), split)[0][..., 0]
+    merged = tile._subtile_merge(osplit.astype(jnp.int32), T, split, q)
+    np.testing.assert_array_equal(np.asarray(merged), np.asarray(payload))
+    # every sub-tile ray direction lies inside its sub-frustum
+    planes = tile._frustum_planes(c2, o2[:, 0])
+    dd = np.asarray(d2)
+    pd = np.einsum("tpx,trx->trp", np.asarray(planes), dd)
+    assert (pd >= -1e-4).all()
