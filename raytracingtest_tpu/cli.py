@@ -206,18 +206,22 @@ def cmd_fit(args):
 def cmd_fly(args):
     """Main-scene integration (the reference's Main.unity loop): a fly
     camera drives per-frame clipmap updates into the preallocated device
-    arenas, rendered by the stitched brick-path traversal — update -> sync
-    -> render every frame, with per-phase timings logged
-    (GhostFreeRoamCamera.cs + Clipmap.cs:45-138 + RaytracingMaster.cs:55-74
-    behavior, TPU-native)."""
+    arenas, rendered through the PRODUCTION tile path via the stitched
+    per-LOD pyramids (Clipmap.master_tile) — update -> sync -> master ->
+    render every frame, with per-phase timings logged. While the camera
+    rests, jittered frames accumulate into a running average; any camera
+    motion resets the sample counter (RaytracingMaster.cs:43-47 +
+    AddShader.shader:42-46 semantics). --path brick keeps the per-ray
+    stitched loop for A/B."""
     import jax.numpy as jnp
 
     from raytracingtest_tpu import diff
+    from raytracingtest_tpu.ops import tile as tile_mod
     from raytracingtest_tpu.ops.camera import Camera
     from raytracingtest_tpu.scenes import get_scene
     from raytracingtest_tpu.stream.clipmap import (
         Arena, BrickArena, Clipmap, DeviceArena, DeviceBrickArena,
-        trace_clipmap_device_brick)
+        render_clipmap_tile, trace_clipmap_device_brick)
 
     scene = get_scene(args.scene)
     arena = Arena(node_capacity=args.arena_nodes,
@@ -230,15 +234,21 @@ def cmd_fly(args):
     dev = DeviceArena(arena)
     devb = DeviceBrickArena(barena)
     light = jnp.asarray([-0.5, -1.0, -0.3], jnp.float32)
+    rng = np.random.default_rng(0)
 
-    # fly path: a lateral sweep above the terrain looking ahead/down
     frames = []
     os.makedirs(args.out_dir, exist_ok=True)
     res = args.resolution
     stats_total = {"update_ms": 0.0, "sync_ms": 0.0, "render_ms": 0.0}
-    for f in range(args.frames):
-        u = f / max(args.frames - 1, 1)
-        # sweep across the world, always looking down into the terrain
+    masters = None
+    acc = None
+    sample = 0
+    prev_pose = None
+    # fly path: a lateral sweep above the terrain looking ahead/down,
+    # then hold_frames at the final pose (camera at rest -> accumulation)
+    total = args.frames + args.hold_frames
+    for f in range(total):
+        u = min(f, args.frames - 1) / max(args.frames - 1, 1)
         pos = np.array([0.18 + 0.55 * u, 0.72, 0.12 + 0.2 * u])
         look = np.array([0.5 + 0.3 * (u - 0.5), 0.3, 0.6])
 
@@ -249,20 +259,45 @@ def cmd_fly(args):
         t0 = time.time()
         ns = dev.sync()
         nb = devb.sync()
+        if masters is None or st["added"] or st["evicted"]:
+            masters = clip.master_tile()
         t_sync = time.time() - t0
 
-        trunk, roots, origins, sizes = clip.master_brick()
+        # camera-motion reset (the reference's _Sample counter)
+        pose = (tuple(pos), tuple(look))
+        if pose != prev_pose:
+            acc = None
+            sample = 0
+            prev_pose = pose
+
         cam = Camera(position=tuple(pos), look_at=tuple(look),
                      fov_y_deg=55.0, width=res, height=res)
-        o, d = cam.rays(np)
         t0 = time.time()
-        leaf, t_hit, chunk_id, _trunc = trace_clipmap_device_brick(
-            trunk, tuple(clip.octree.root.position), clip.octree.root.size,
-            roots, origins, sizes, args.chunk_depth, devb, o, d)
-        img = diff.shade_diff(leaf, jnp.asarray(d), dev.leaf_albedo,
-                              dev.leaf_normal, dev.leaf_density, light,
-                              1.3, 0.08)
-        img = np.asarray(img).reshape(res, res, 3)
+        if args.path == "tile":
+            jitter = (rng.random(2, dtype=np.float32) if sample > 0
+                      else None)
+            o, d, corners, grid = tile_mod.tile_rays(cam, np,
+                                                     jitter=jitter)
+            acc, un = render_clipmap_tile(
+                masters, devb, dev, o, d, corners, light, acc=acc,
+                sample=sample,
+                world_origin=tuple(clip.world_origin),
+                world_size=clip.world_size)
+            n_un = int(np.asarray(un))  # scalar fence: frame is done
+            img = None                  # pixels fetched only when kept
+        else:
+            o, d = cam.rays(np)
+            leaf, t_hit, chunk_id, _trunc = trace_clipmap_device_brick(
+                *(trunk_args(clip) + (args.chunk_depth, devb, o, d)))
+            img = diff.shade_diff(leaf, jnp.asarray(d), dev.leaf_albedo,
+                                  dev.leaf_normal, dev.leaf_density,
+                                  light, 1.3, 0.08)
+            img = np.asarray(img)
+            n_un = 0
+        if args.path != "tile":
+            img = img.reshape(res, res, 3)
+            acc = img if sample == 0 else acc + (img - acc) / (sample + 1)
+        sample += 1
         t_render = time.time() - t0
 
         stats_total["update_ms"] += t_update * 1e3
@@ -270,19 +305,36 @@ def cmd_fly(args):
         stats_total["render_ms"] += t_render * 1e3
         print(f"frame {f:3d}  update {t_update*1e3:7.1f} ms "
               f"(+{st['added']}/-{st['evicted']} chunks, "
-              f"{st['resident']} resident)  sync {t_sync*1e3:6.1f} ms "
-              f"({ns}+{nb} spans)  render {t_render*1e3:7.1f} ms",
+              f"{st['resident']} resident)  sync+master {t_sync*1e3:6.1f} "
+              f"ms ({ns}+{nb} spans)  render {t_render*1e3:7.1f} ms  "
+              f"samples {sample}"
+              + (f"  residual {n_un}" if n_un else ""),
               file=sys.stderr)
-        frames.append(img)
-        if args.save_frames:
-            _save_png(img, os.path.join(args.out_dir, f"fly_{f:03d}.png"))
+        keep = (f % max(total // 8, 1) == 0) or f == total - 1
+        if keep or args.save_frames:
+            # pixels leave the device only for kept frames (tile path:
+            # the accumulator lives on-device between frames)
+            px = acc
+            if args.path == "tile":
+                px = tile_mod.untile_image(np.asarray(acc), grid)
+            px = np.asarray(px).reshape(res, res, 3)
+            if keep:
+                frames.append(px.copy())
+            if args.save_frames:
+                _save_png(px, os.path.join(args.out_dir, f"fly_{f:03d}.png"))
 
-    strip = np.concatenate(frames[:: max(len(frames) // 8, 1)], axis=1)
+    strip = np.concatenate(frames, axis=1)
     _save_png(strip, os.path.join(args.out_dir, "fly_strip.png"))
-    n = args.frames
+    n = total
     print(f"avg/frame: update {stats_total['update_ms']/n:.1f} ms  "
-          f"sync {stats_total['sync_ms']/n:.1f} ms  "
+          f"sync+master {stats_total['sync_ms']/n:.1f} ms  "
           f"render {stats_total['render_ms']/n:.1f} ms", file=sys.stderr)
+
+
+def trunk_args(clip):
+    trunk, roots, origins, sizes = clip.master_brick()
+    return (trunk, tuple(clip.octree.root.position), clip.octree.root.size,
+            roots, origins, sizes)
 
 
 def cmd_info(args):
@@ -382,6 +434,14 @@ def main(argv=None):
     pfly.add_argument("--arena-leaves", type=int, default=4_000_000)
     pfly.add_argument("--save-frames", action="store_true")
     pfly.add_argument("--out-dir", default="/tmp/rtt_fly")
+    pfly.add_argument("--path", choices=["tile", "brick"], default="tile",
+                      help="tile = stitched pyramids through the "
+                      "production tile walk (default); brick = the "
+                      "per-ray two-phase stitched loop (A/B)")
+    pfly.add_argument("--hold-frames", type=int, default=4,
+                      help="extra frames at the final pose: the camera "
+                      "rests, so jittered samples accumulate "
+                      "(RaytracingMaster _Sample semantics)")
     pfly.set_defaults(fn=cmd_fly)
 
     pi = sub.add_parser("info", help="print SVO statistics")

@@ -1017,7 +1017,7 @@ def _fb2_caps(top_depth, fb_k):
                           "fb2_split"))
 def _trace_tile_fb(pyr, cellmap, bricks, o, d, corners, apex, depth,
                    top_depth, caps, k_max, chunk_tiles, fb_tiles, fb_k,
-                   fb2_tiles=0, fb2_split=2):
+                   fb2_tiles=0, fb2_split=2, brickmap=None):
     """trace_tile + in-jit enlarged-K tile re-walk fallback (+ optional
     sub-tile re-walk for cap-saturated tiles).
 
@@ -1042,10 +1042,17 @@ def _trace_tile_fb(pyr, cellmap, bricks, o, d, corners, apex, depth,
     T, P = o.shape[0], o.shape[1]
     fb_tiles = min(fb_tiles, T)
     res, unresolved = _trace_tile(pyr, cellmap, bricks, o, d, corners, apex,
-                                  depth, top_depth, caps, k_max, chunk_tiles)
+                                  depth, top_depth, caps, k_max, chunk_tiles,
+                                  brickmap=brickmap)
     un = unresolved.reshape(T, P)
     hl = res.hit_leaf.reshape(T, P)
     ht = res.hit_t.reshape(T, P)
+
+    def _remap(ids_):
+        if brickmap is None:
+            return ids_
+        return jnp.where(ids_ >= 0, jnp.take(brickmap,
+                                             jnp.maximum(ids_, 0)), -1)
 
     if fb_tiles:
         un_tile = jnp.any(un, axis=1)
@@ -1062,6 +1069,7 @@ def _trace_tile_fb(pyr, cellmap, bricks, o, d, corners, apex, depth,
         caps2 = tuple(min(fb_k, 8 ** l) for l in range(top_depth + 1))
         codes2, ids2, t2, drop2 = _candidates(pyr, cellmap, c_s, apex,
                                               top_depth, caps2, fb_k)
+        ids2 = _remap(ids2)
         # wide window for the long fb_k lists
         hit2, t_hit2, _it2, un2 = _walk_tiles_chunk(
             bricks, o_s, d_s, codes2, ids2, t2, drop2, depth=depth,
@@ -1091,6 +1099,7 @@ def _trace_tile_fb(pyr, cellmap, bricks, o, d, corners, apex, depth,
         caps3 = _fb2_caps(top_depth, fb_k)
         codes3, ids3, t3, drop3 = _candidates(pyr, cellmap, c3, apex,
                                               top_depth, caps3, fb_k)
+        ids3 = _remap(ids3)
         hit3, t_hit3, _it3, un3 = _walk_tiles_chunk(
             bricks, o3, d3, codes3, ids3, t3, drop3, depth=depth,
             top_depth=top_depth, k_max=fb_k, win=FB_WIN, loads=FB_LOADS,
