@@ -375,6 +375,123 @@ def cmd_debug(args):
         print(f"wrote {args.out} ({len(origins)} level-{args.level} boxes)")
 
 
+def cmd_probe(args):
+    """Interactive probe session — the SVODriver + OctreeDebugger loop,
+    headless (SVODriver.cs:30-33 draggable ray endpoints re-probing on
+    every change; OctreeDebugger.cs:14-32 live insert/delete of cubes
+    into a chunk octree with gizmo redraws; OnValidate rebuild-on-change,
+    SVODriver.cs:48-51). Commands come from stdin (or --commands for
+    scripted use, ';'-separated); every state change re-runs the probe
+    and, with --out, re-renders the overlay frame:
+
+      from X Y Z | to X Y Z   move a ray endpoint (re-probes)
+      scene NAME | depth N    rebuild the SVO (re-probes)
+      level N                 gizmo box level for render overlays
+      render [PATH]           render + node boxes + probe ray -> PNG
+      insert X Y Z S          insert a cube into the debug chunk octree
+      delete X Y Z S          remove it (prints the octree box list)
+      boxes                   print chunk-octree boxes
+      probe                   re-print the current ray's leaf list
+      quit
+    """
+    import numpy as _np
+    from raytracingtest_tpu import viz
+    from raytracingtest_tpu.ops.camera import Camera
+    from raytracingtest_tpu.render import render_jax
+    from raytracingtest_tpu.stream.chunk_octree import ChunkOctree
+
+    state = {
+        "scene": args.scene, "depth": args.depth, "level": args.level,
+        "from": _np.asarray([0.1, 0.9, 0.1], _np.float64),
+        "to": _np.asarray([0.9, 0.1, 0.9], _np.float64),
+        "svo": None,
+    }
+    octree = ChunkOctree(origin=(0.0, 0.0, 0.0), size=1.0)
+    boxes = {}
+
+    def rebuild():
+        state["svo"] = _load_or_build(state["scene"], state["depth"],
+                                      args.cache_dir)
+        print(f"svo: {state['scene']} depth={state['depth']} "
+              f"{state['svo'].n_nodes} nodes")
+
+    def probe():
+        d = state["to"] - state["from"]
+        n = _np.linalg.norm(d)
+        if n < 1e-12:
+            print("(degenerate ray)")
+            return
+        entries = viz.ray_probe(state["svo"], state["from"], d / n,
+                                max_hits=args.max_hits)
+        print(f"ray {state['from'].tolist()} -> {state['to'].tolist()}")
+        print(viz.format_probe(entries))
+
+    def render(path):
+        cam = Camera(position=tuple(args.camera_position),
+                     look_at=tuple(args.look_at), fov_y_deg=args.fov,
+                     width=args.width, height=args.height)
+        img = _np.array(render_jax(state["svo"].device(), cam))
+        origins, size = viz.node_boxes(state["svo"], state["level"])
+        viz.draw_boxes(img, cam, origins, size, max_boxes=args.max_boxes)
+        for pos, s in boxes.values():
+            viz.draw_boxes(img, cam, _np.asarray([pos], _np.float32),
+                           float(s), color=(1.0, 1.0, 0.2))
+        viz.draw_segment(img, cam, state["from"], state["to"])
+        _save_png(img, path)
+
+    rebuild()
+    probe()
+    if args.commands:
+        lines = [c.strip() for c in args.commands.split(";") if c.strip()]
+    else:
+        print("probe> reading commands from stdin (see --help)",
+              file=sys.stderr)
+        lines = (ln.strip() for ln in sys.stdin)
+    for line in lines:
+        if not line or line.startswith("#"):
+            continue
+        tok = line.split()
+        cmd, rest = tok[0], tok[1:]
+        try:
+            if cmd == "quit":
+                break
+            elif cmd in ("from", "to"):
+                state[cmd] = _np.asarray([float(v) for v in rest[:3]])
+                probe()
+            elif cmd == "scene":
+                state["scene"] = rest[0]
+                rebuild(); probe()
+            elif cmd == "depth":
+                state["depth"] = int(rest[0])
+                rebuild(); probe()
+            elif cmd == "level":
+                state["level"] = int(rest[0])
+                print(f"level {state['level']}")
+            elif cmd == "render":
+                render(rest[0] if rest else (args.out or "probe.png"))
+            elif cmd == "insert":
+                x, y, z, s = (float(v) for v in rest[:4])
+                octree.add_chunk((x, y, z), s, chunk=(x, y, z, s))
+                boxes[(x, y, z, s)] = ((x, y, z), s)
+                print(f"inserted ({x},{y},{z}) size {s}; "
+                      f"{len(boxes)} cubes")
+            elif cmd == "delete":
+                x, y, z, s = (float(v) for v in rest[:4])
+                ok = octree.remove_chunk((x, y, z), s)
+                boxes.pop((x, y, z, s), None)
+                print("removed" if ok else "not found")
+            elif cmd == "boxes":
+                for (pos, s) in boxes.values():
+                    print(f"cube at {pos} size {s}")
+                print(f"octree root size {octree.root.size}")
+            elif cmd == "probe":
+                probe()
+            else:
+                print(f"? unknown command {cmd!r}")
+        except (ValueError, IndexError) as e:
+            print(f"! {e}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="raytracingtest_tpu")
     p.add_argument("--cache-dir", default="/tmp/rtt_cache")
@@ -466,6 +583,27 @@ def main(argv=None):
     pd.add_argument("--look-at", type=float, nargs=3, default=[0.5, 0.4, 0.5])
     pd.add_argument("--out", default="")
     pd.set_defaults(fn=cmd_debug)
+
+    pp = sub.add_parser("probe", help="interactive probe session "
+                        "(SVODriver draggable-ray + OctreeDebugger live "
+                        "insert/delete, headless)")
+    pp.add_argument("--scene", default="sphere")
+    pp.add_argument("--depth", type=int, default=5)
+    pp.add_argument("--level", type=int, default=3)
+    pp.add_argument("--max-hits", type=int, default=32)
+    pp.add_argument("--max-boxes", type=int, default=4096)
+    pp.add_argument("--width", type=int, default=512)
+    pp.add_argument("--height", type=int, default=512)
+    pp.add_argument("--fov", type=float, default=50.0)
+    pp.add_argument("--camera-position", type=float, nargs=3,
+                    default=[0.5, 0.85, -0.6])
+    pp.add_argument("--look-at", type=float, nargs=3,
+                    default=[0.5, 0.4, 0.5])
+    pp.add_argument("--out", default="")
+    pp.add_argument("--commands", default="",
+                    help="';'-separated commands (scripted mode); "
+                    "omit to read stdin interactively")
+    pp.set_defaults(fn=cmd_probe)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -74,6 +74,30 @@ def _draw_line(image, p0, p1, col, h, w):
     image[ys[ok], xs[ok]] = col
 
 
+def draw_segment(image: np.ndarray, camera: Camera, p0, p1,
+                 color=(1.0, 0.2, 0.2), endpoint_px: int = 2):
+    """Rasterize a world-space segment (the probe ray between its two
+    draggable endpoints, SVODriver.cs:30-33) with small endpoint markers.
+    Returns the image (modified in place)."""
+    h, w = image.shape[:2]
+    pts, in_front = camera.project(np.asarray([p0, p1], np.float32))
+    col = np.asarray(color, np.float32)
+    if in_front[0] and in_front[1]:
+        _draw_line(image, pts[0], pts[1], col, h, w)
+    for i, pt in enumerate(pts):
+        if not in_front[i]:
+            continue
+        x, y = int(pt[0]), int(pt[1])
+        r = endpoint_px
+        y0, y1 = max(y - r, 0), min(y + r + 1, h)
+        x0, x1 = max(x - r, 0), min(x + r + 1, w)
+        if y0 >= y1 or x0 >= x1:
+            continue  # endpoint off-screen
+        image[y0:y1, x0:x1] = col if i == 0 else np.asarray(
+            (0.2, 1.0, 0.2), np.float32)
+    return image
+
+
 @dataclasses.dataclass
 class RayProbeEntry:
     node_row: int

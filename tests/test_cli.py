@@ -99,3 +99,24 @@ def test_cli_fly_smoke(tmp_path):
     strip = np.asarray(Image.open(out / "fly_strip.png"))
     assert strip.shape[0] == 32 and strip.shape[1] >= 64
     assert np.isfinite(strip).all()
+
+
+def test_cli_probe_scripted(tmp_path, capsys):
+    """Interactive probe session (SVODriver + OctreeDebugger analog) in
+    scripted mode: ray moves re-probe, cubes insert/delete, overlay
+    renders."""
+    from raytracingtest_tpu import cli
+    out = tmp_path / "probe.png"
+    cli.main(["--cache-dir", str(tmp_path), "probe", "--scene", "sphere",
+              "--depth", "4", "--width", "64", "--height", "64",
+              "--commands",
+              "from 0.5 0.95 0.5; to 0.5 0.05 0.5; "
+              "insert 0.25 0.25 0.25 0.25; boxes; "
+              f"render {out}; delete 0.25 0.25 0.25 0.25; quit"])
+    text = capsys.readouterr().out
+    assert "leaf" in text              # probe found intersections
+    assert "inserted" in text and "removed" in text
+    import numpy as np
+    from PIL import Image
+    img = np.asarray(Image.open(out))
+    assert img.shape[:2] == (64, 64)
