@@ -66,8 +66,6 @@ def cmd_render(args):
         # load a Radiance .hdr (io/hdr.py) or any PIL-readable image, or
         # bake the procedural daytime map with --skybox procedural
         from raytracingtest_tpu.io import hdr as hdr_mod
-        from raytracingtest_tpu.models.renderers import _camera
-        from raytracingtest_tpu.render import render_progressive
         if args.skybox == "procedural":
             tex = hdr_mod.make_sky_hdr()
         elif args.skybox.lower().endswith(".hdr"):
@@ -76,8 +74,8 @@ def cmd_render(args):
             from PIL import Image
             tex = np.asarray(Image.open(args.skybox).convert("RGB"),
                              np.float32) / 255.0
-        img = render_progressive(svo, _camera(cam), n_samples=args.samples,
-                                 skybox=tex)
+        model = SurfaceRenderer(svo)
+        img = model.render_progressive(cam, rnd, skybox=tex)
     elif args.lod_coef > 0.0:
         # LOD render (Trace.cu:135-136 ray_size semantics) through the
         # production brick path; interior hits shade from averaged node

@@ -123,17 +123,24 @@ gather_voxel_params.defvjp(_gather_fwd, _gather_bwd)
 # ---------------------------------------------------------------------------
 
 def shade_diff(hit_leaf, direction, albedo, normal, density,
-               light_dir, light_intensity, light_ambient):
+               light_dir, light_intensity, light_ambient, skybox=None):
     """Differentiable Lambert shading of traced rays. (N,3) radiance.
 
-    Misses shade to the sky color; their gradient contribution to voxel
-    params is exactly zero. Density scales hit opacity (alpha-composited
-    against the sky), giving density a gradient path even in the
-    single-hit renderer.
+    Misses shade to the sky — the procedural gradient, or an equirect
+    environment texture when `skybox` is given (the reference's HDR
+    cubemap sample on miss, RaytraceCompute.compute:117-126); either way
+    the miss gradient contribution to voxel params is exactly zero.
+    Density scales hit opacity (alpha-composited against the sky), giving
+    density a gradient path even in the single-hit renderer.
     """
+    from raytracingtest_tpu.render import sky_texture
+    if skybox is not None:
+        sky = sky_texture(direction, jax.lax.stop_gradient(skybox), jnp)
+    else:
+        sky = sky_color(direction, jnp)
     if albedo.shape[0] == 0:
         # empty scene: every ray misses; sky only (no empty-axis gather)
-        return sky_color(direction, jnp)
+        return sky
     hit = hit_leaf >= 0
     safe_leaf = jnp.where(hit, hit_leaf, 0)
     alb, nrm, den = gather_voxel_params(albedo, normal, density, safe_leaf)
@@ -142,7 +149,6 @@ def shade_diff(hit_leaf, direction, albedo, normal, density,
     nn = nrm / jnp.sqrt(jnp.maximum(jnp.sum(nrm * nrm, -1, keepdims=True), 1e-12))
     ndotl = jnp.maximum(jnp.sum(nn * (-ldir)[None, :], axis=-1), 0.0)
     lit = alb * (ndotl * light_intensity + light_ambient)[:, None]
-    sky = sky_color(direction, jnp)
     alpha = jnp.clip(den, 0.0, 1.0)[:, None] * hit[:, None]
     return alpha * lit + (1.0 - alpha) * sky
 
@@ -303,10 +309,11 @@ loss_and_grads_brick = jax.jit(
 def render_diff_tile(albedo, normal, density, tsvo, o, d, corners,
                      light_dir, light_intensity=1.3, light_ambient=0.08,
                      k_max=64, chunk_tiles=256, fb_tiles=128, fb_k=256,
-                     fb2_tiles=0):
+                     fb2_tiles=0, skybox=None):
     """Differentiable render via the tile traversal (hits bit-identical to
     render_diff — tested). o/d: (T, P, 3) tile-major; returns ((T*P, 3)
-    radiance, residual-unresolved count)."""
+    radiance, residual-unresolved count). skybox: optional (H, W, 3)
+    equirect environment texture sampled on miss."""
     from raytracingtest_tpu.ops import tile as tile_mod
     caps = tile_mod._default_caps(tsvo.top_depth, k_max)
     b = tsvo.bsvo
@@ -316,7 +323,8 @@ def render_diff_tile(albedo, normal, density, tsvo, o, d, corners,
         caps, k_max, chunk_tiles, fb_tiles, fb_k, fb2_tiles)
     hit_leaf = jax.lax.stop_gradient(res.hit_leaf)
     img = shade_diff(hit_leaf, d.reshape(-1, 3), albedo, normal, density,
-                     light_dir, light_intensity, light_ambient)
+                     light_dir, light_intensity, light_ambient,
+                     skybox=skybox)
     return img, jnp.sum(residual)
 
 

@@ -83,11 +83,13 @@ class SurfaceRenderer:
     svo: SVO
 
     def render(self, camera_cfg: CameraConfig, render_cfg: RenderConfig,
-               jitter=None) -> np.ndarray:
+               jitter=None, skybox=None) -> np.ndarray:
         cam = _camera(camera_cfg)
         # pinhole cameras with tile-aligned resolutions ride the tile-
         # amortized hot path (exact: in-jit fallback + host-side residual
-        # retrace); everything else falls back to the per-ray brick path
+        # retrace); everything else falls back to the per-ray brick path.
+        # skybox: optional (H, W, 3) equirect environment texture sampled
+        # on miss (io/hdr.py loads the reference's .hdr assets)
         if (cam.ortho_height <= 0.0 and camera_cfg.width % 16 == 0
                 and camera_cfg.height % 16 == 0):
             tsvo = _tile_of(self)
@@ -105,9 +107,20 @@ class SurfaceRenderer:
                     jnp.asarray(self.svo.leaf_albedo),
                     jnp.asarray(self.svo.leaf_normal),
                     jnp.asarray(self.svo.leaf_density), light,
-                    render_cfg.light_intensity, render_cfg.light_ambient)
+                    render_cfg.light_intensity, render_cfg.light_ambient,
+                    skybox=None if skybox is None
+                    else jnp.asarray(skybox, jnp.float32))
                 img = tile_mod.untile_image(np.asarray(img), grid)
                 return img.reshape(camera_cfg.height, camera_cfg.width, 3)
+        if skybox is not None:
+            # non-tile cameras: the plain jitted path supports env maps
+            from raytracingtest_tpu.render import Light, render_jax
+            return np.asarray(render_jax(
+                self.svo, cam,
+                light=Light(direction=render_cfg.light_direction,
+                            intensity=render_cfg.light_intensity,
+                            ambient=render_cfg.light_ambient),
+                jitter=jitter, skybox=skybox))
         o, d = cam.rays(np, jitter=jitter)
         light = jnp.asarray(render_cfg.light_direction, jnp.float32)
         bsvo = _brick_of(self)
@@ -131,12 +144,14 @@ class SurfaceRenderer:
         return np.asarray(img).reshape(camera_cfg.height, camera_cfg.width, 3)
 
     def render_progressive(self, camera_cfg: CameraConfig,
-                           render_cfg: RenderConfig, seed=0) -> np.ndarray:
+                           render_cfg: RenderConfig, seed=0,
+                           skybox=None) -> np.ndarray:
         rng = np.random.default_rng(seed)
         acc = None
         for s in range(max(render_cfg.samples, 1)):
             img = self.render(camera_cfg, render_cfg,
-                              jitter=rng.random(2, dtype=np.float32))
+                              jitter=rng.random(2, dtype=np.float32),
+                              skybox=skybox)
             acc = img if acc is None else acc + (img - acc) / (s + 1)
         return acc
 
