@@ -80,3 +80,44 @@ def iter_stats(iters) -> dict:
         "p99": float(np.percentile(it, 99)),
         "max": int(it.max()),
     }
+
+
+def device_op_breakdown(fn, *args, logdir: str = "/tmp/rtt_op_trace",
+                        calls: int = 3, top: int = 30) -> list:
+    """Run `fn(*args)` under a jax.profiler trace and aggregate DEVICE-side
+    op durations from the emitted Chrome trace — the measurement method
+    that grounded the r5 cost model (PROFILE.md: per-fusion launch
+    overhead, while-loop trip costs). Returns [(op_name, total_ms, count)]
+    sorted by total time, one entry per distinct HLO op/fusion name.
+
+    fn must force execution itself (e.g. return a value the caller floats,
+    or block); each of `calls` invocations is recorded, so divide by
+    `calls` for per-call numbers."""
+    import glob
+    import gzip
+    import json
+    from collections import Counter
+
+    import jax
+
+    fn(*args)  # warm (compile outside the trace)
+    with jax.profiler.trace(logdir):
+        for _ in range(calls):
+            fn(*args)
+    paths = sorted(glob.glob(f"{logdir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        return []
+    with gzip.open(paths[-1]) as f:
+        tr = json.load(f)
+    ev = tr.get("traceEvents", [])
+    pids = {e["pid"]: e.get("args", {}).get("name", "")
+            for e in ev if e.get("ph") == "M"
+            and e.get("name") == "process_name"}
+    agg, cnt = Counter(), Counter()
+    for e in ev:
+        if (e.get("ph") == "X" and "dur" in e
+                and pids.get(e["pid"], "").startswith("/device")):
+            agg[e["name"]] += e["dur"]
+            cnt[e["name"]] += 1
+    return [(name, dur / 1e3, cnt[name])
+            for name, dur in agg.most_common(top)]

@@ -120,3 +120,20 @@ def test_cli_probe_scripted(tmp_path, capsys):
     from PIL import Image
     img = np.asarray(Image.open(out))
     assert img.shape[:2] == (64, 64)
+
+
+def test_device_op_breakdown():
+    """The profiler-trace aggregation returns per-op device totals (on the
+    CPU backend device rows may be absent — the call must still succeed
+    and return a list)."""
+    import jax.numpy as jnp
+    from raytracingtest_tpu.utils.profiling import device_op_breakdown
+
+    def fn(x):
+        return float(jnp.sum(jnp.sort(x * 2.0)))
+
+    rows = device_op_breakdown(fn, jnp.arange(1024, dtype=jnp.float32),
+                               logdir="/tmp/rtt_op_trace_test", calls=2)
+    assert isinstance(rows, list)
+    for name, ms, count in rows:
+        assert ms >= 0 and count >= 1
