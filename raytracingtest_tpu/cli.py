@@ -60,6 +60,12 @@ def cmd_render(args):
         width=args.width, height=args.height,
         ortho_height=args.ortho_height)
     rnd = RenderConfig(samples=args.samples, volumetric_k=args.volumetric_k)
+    if args.skybox and (args.lod_coef > 0.0 or args.attachments
+                        or args.volumetric_k > 0
+                        or (args.specular > 0.0 and args.bounces > 1)):
+        raise SystemExit("--skybox combines only with the surface render; "
+                         "drop --lod-coef/--attachments/--volumetric-k/"
+                         "--specular")
     if args.skybox:
         # real environment map on miss (the reference's HDR cubemap sample,
         # RaytraceCompute.compute:117-126 + daytime.hdr/sunset.hdr assets):

@@ -61,6 +61,8 @@ def _read_new_rle_scanline(buf: memoryview, pos: int, width: int,
                 pos += 1
                 x += run
             else:                 # literal: n raw bytes
+                if n == 0:        # corrupt: would loop forever
+                    raise ValueError("corrupt RLE scanline (empty packet)")
                 out_row[x:x + n, c] = np.frombuffer(
                     buf, np.uint8, count=n, offset=pos)
                 pos += n
@@ -89,8 +91,12 @@ def load_hdr(path: str) -> np.ndarray:
         line = data[pos:nl]
         pos = nl + 1
         if line.startswith(b"FORMAT="):
-            fmt_ok = line.strip() in (b"FORMAT=32-bit_rle_rgbe",
-                                      b"FORMAT=32-bit_rle_xyze")
+            if line.strip() == b"FORMAT=32-bit_rle_xyze":
+                # XYZE shares the wire format but needs an XYZ->RGB
+                # matrix; decoding it as RGBE would silently wreck colors
+                raise ValueError(f"{path}: XYZE radiance files are not "
+                                 "supported (RGBE only)")
+            fmt_ok = line.strip() == b"FORMAT=32-bit_rle_rgbe"
         if line == b"":
             break
     if not fmt_ok:
@@ -111,8 +117,19 @@ def load_hdr(path: str) -> np.ndarray:
                 and ((buf[pos + 2] << 8) | buf[pos + 3]) == width):
             pos = _read_new_rle_scanline(buf, pos + 4, width, rows[y])
         else:
-            # flat / old-style RLE: read pixel-by-pixel, expanding
-            # (1,1,1,n) repeat markers
+            # flat / old-style RLE. Fast path: read the whole scanline as
+            # (W, 4); only fall back to the scalar expander when it
+            # contains an old-style (1,1,1,n) repeat marker (a flat
+            # megapixel file — save_hdr's own output — would otherwise
+            # decode at ~1.5 us/pixel in the scalar loop)
+            if len(buf) - pos >= 4 * width:
+                flat = np.frombuffer(buf, np.uint8, count=4 * width,
+                                     offset=pos).reshape(width, 4)
+                if not ((flat[:, 0] == 1) & (flat[:, 1] == 1)
+                        & (flat[:, 2] == 1)).any():
+                    rows[y] = flat
+                    pos += 4 * width
+                    continue
             x = 0
             shift = 0
             while x < width:
@@ -142,19 +159,11 @@ def save_hdr(path: str, img: np.ndarray) -> None:
         raise ValueError(f"expected (H, W, 3), got {img.shape}")
     h, w = img.shape[:2]
     rgbe = _encode_rgbe(img)
-    # guard against the flat encoding being mis-read as an RLE marker:
-    # a leading pixel (2,2,hi,lo) with hi/lo == width is impossible here
-    # because E==2 implies radiance ~1e-38, below f32 denormal concerns —
-    # but the old-style repeat marker (1,1,1,n) IS reachable; bump B by one
-    # LSB in that case (imperceptible: < 0.4% of one channel's value)
-    m = (rgbe[:, :, 0] == 1) & (rgbe[:, :, 1] == 1) & (rgbe[:, :, 2] == 1)
-    rgbe[:, :, 2][m] = 2
-    # ...and a scanline-leading pixel (2,2,hi,lo) spelling the width would
-    # be misread as a new-RLE marker; bump B by one LSB there too
-    lead = rgbe[:, 0]
-    m0 = ((lead[:, 0] == 2) & (lead[:, 1] == 2)
-          & (((lead[:, 2].astype(np.int32) << 8) | lead[:, 3]) == w))
-    lead[:, 2][m0] = np.uint8(3)
+    # marker collisions are unreachable from this encoder: any nonzero
+    # pixel's BRIGHTEST channel byte lands in [128, 255], so neither the
+    # old-RLE marker (1,1,1,n — needs all of R,G,B <= 1) nor a scanline-
+    # leading new-RLE marker (2,2,hi,lo — needs hi = max channel >= 128,
+    # i.e. width >= 32768, where readers don't try new-RLE) can be emitted
     with open(path, "wb") as f:
         f.write(b"#?RADIANCE\n")
         f.write(b"FORMAT=32-bit_rle_rgbe\n\n")
@@ -168,7 +177,7 @@ def make_sky_hdr(height: int = 128, width: int = 256,
     """Procedurally bake a daytime environment map (HDR: the sun disc
     carries radiance far above 1.0) — a stand-in for the reference's
     daytime.hdr asset, generated rather than shipped as a binary."""
-    from raytracingtest_tpu.render import SKY_HORIZON, SKY_ZENITH
+    from raytracingtest_tpu.render import sky_color
 
     v = (np.arange(height, dtype=np.float32) + 0.5) / height
     u = (np.arange(width, dtype=np.float32) + 0.5) / width
@@ -178,8 +187,7 @@ def make_sky_hdr(height: int = 128, width: int = 256,
     d = np.stack([st * np.sin(phi)[None, :],
                   np.broadcast_to(np.cos(theta)[:, None], (height, width)),
                   st * -np.cos(phi)[None, :]], axis=-1)
-    t = np.clip(d[..., 1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
-    img = SKY_HORIZON * (1.0 - t) + SKY_ZENITH * t
+    img = sky_color(d, np)            # baked == live miss shading
     sd = np.asarray(sun_dir, np.float32)
     sd = sd / np.linalg.norm(sd)
     cosang = d @ sd

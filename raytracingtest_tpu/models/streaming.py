@@ -16,9 +16,6 @@ Usage:
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional
-
 import numpy as np
 
 import jax.numpy as jnp
@@ -75,8 +72,8 @@ class StreamingRenderer:
         st = self.clipmap.update(camera_pos)
         st["node_spans"] = self.device_arena.sync()
         st["brick_spans"] = self.device_bricks.sync()
-        if self._masters is None or st["added"] or st["evicted"]:
-            self._masters = self.clipmap.master_tile()
+        if st["added"] or st["evicted"]:
+            self._masters = None    # stitched lazily at the next render
             self._acc = None        # resident set changed: restart accum
             self._sample = 0
         return st
@@ -92,9 +89,17 @@ class StreamingRenderer:
         """Render one frame. Returns ((H, W, 3) float32, residual count)
         when fetch=True, else (device accumulator (T*P, 3), residual) —
         fetching costs a host round trip; pure animation loops fence on
-        the residual and fetch only frames they keep."""
-        if self._masters is None:
+        the residual and fetch only frames they keep. NOTE: with
+        fetch=False the returned accumulator's buffer is DONATED to the
+        next render() call — read or np.asarray it before rendering again,
+        not after."""
+        if self.clipmap.resident == {}:
             self.update(camera.position)
+        if self._masters is None:
+            # lazy stitch: streaming updates invalidate, the first tile
+            # render after a change rebuilds (keeps non-tile consumers of
+            # update() from paying the pyramid stitch)
+            self._masters = self.clipmap.master_tile()
         pose = (tuple(np.asarray(camera.position, np.float64)),
                 tuple(np.asarray(camera.look_at, np.float64)),
                 camera.width, camera.height, camera.fov_y_deg)

@@ -301,7 +301,6 @@ def _candidates(pyr, cellmap, corners, apex, top_depth, caps, k_max):
 
     for l in range(1, top_depth + 1):
         c_prev = codes.shape[1]
-        W = c_prev * 8
         valid_p = codes >= 0
         safe = jnp.where(valid_p, codes, 0)
         # one u32 word holds all 8 children's occupancy bits
