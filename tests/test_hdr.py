@@ -25,9 +25,10 @@ def test_roundtrip_flat():
     assert np.all(out[0, 0] == 0.0)
 
 
-def test_roundtrip_marker_collisions():
-    # pixels that encode to old-RLE (1,1,1,n) and new-RLE (2,2,hi,lo)
-    # byte patterns must not corrupt the file (writer bumps one LSB)
+def test_roundtrip_marker_adjacent_values():
+    # dim pixels near the RLE-marker byte patterns: the encoder's
+    # brightest-channel-in-[128,255] invariant keeps actual markers
+    # unreachable, so these must round-trip exactly like any other value
     w = 300
     img = np.zeros((3, w, 3), np.float32)
     img[1, :] = (1.5 / 256, 1.5 / 256, 1.5 / 256)       # encodes (1,1,1,E)
@@ -127,3 +128,24 @@ def test_render_with_hdr_skybox():
     assert img.max() > 5.0
     # and hit pixels still shade below 2.0 (LDR surface shading)
     assert img.min() >= 0.0
+
+
+def test_rejects_xyze_and_corrupt_rle():
+    # XYZE shares the wire format but would decode to wrong colors
+    data = (b"#?RADIANCE\nFORMAT=32-bit_rle_xyze\n\n-Y 1 +X 2\n"
+            + bytes([10, 10, 10, 128]) * 2)
+    path = "/tmp/rtt_test_xyze.hdr"
+    with open(path, "wb") as f:
+        f.write(data)
+    with pytest.raises(ValueError, match="XYZE"):
+        hdr.load_hdr(path)
+    # zero-length literal packet must raise, not loop forever
+    w = 16
+    payload = bytes([2, 2, 0, w]) + bytes([0])  # empty literal packet
+    data = (b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+            + f"-Y 1 +X {w}\n".encode() + payload)
+    path = "/tmp/rtt_test_corrupt.hdr"
+    with open(path, "wb") as f:
+        f.write(data)
+    with pytest.raises(ValueError, match="empty packet"):
+        hdr.load_hdr(path)
