@@ -122,19 +122,22 @@ def main():
         # sub-tile re-walk budget: the r5 default (16 tiles, 2x2 split)
         # drives the bench config's residual to 0 for ~2.5 ms
         tile_fb2 = int(os.environ.get("BENCH_FB2", "16"))
+        # enlarged-K budget: 160 reaches residual 0 on the bench scene and
+        # cuts ~1.3 ms vs the API default 256 (scratch/r6_fb.py sweep)
+        tile_fbk = int(os.environ.get("BENCH_FBK", "160"))
         if mode == "fwd":
             def run(tag):
                 img, residual = diff.render_diff_tile(
                     albedo, normal, density, tsvo, o_t, d_t, corners,
                     light + tag, k_max=tile_k, fb_tiles=tile_fbt,
-                    fb2_tiles=tile_fb2)
+                    fb_k=tile_fbk, fb2_tiles=tile_fb2)
                 return jnp.sum(img) + residual
         else:
             def run(tag):
                 (loss, residual), grads = diff.loss_and_grads_tile(
                     albedo, normal, density, tsvo, o_t, d_t, corners,
                     light + tag, target_t, k_max=tile_k,
-                    fb_tiles=tile_fbt, fb2_tiles=tile_fb2)
+                    fb_tiles=tile_fbt, fb_k=tile_fbk, fb2_tiles=tile_fb2)
                 gsum = sum(jnp.sum(jnp.abs(g))
                            for g in jax.tree_util.tree_leaves(grads))
                 return loss + gsum + residual
@@ -223,7 +226,7 @@ def main():
             img, residual = diff.render_diff_tile(
                 albedo, normal, density, tsvo, o_t, d_t, corners,
                 light + tag, k_max=tile_k, fb_tiles=tile_fbt,
-                fb2_tiles=tile_fb2)
+                fb_k=tile_fbk, fb2_tiles=tile_fb2)
             return jnp.sum(img) + residual
         for i in range(5):
             float(run_fwd(zero * i))

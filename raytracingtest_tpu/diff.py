@@ -88,6 +88,13 @@ def _segment_reduce_cols(leaf_id, cols, n_out):
     rows = jnp.take(cols, order, axis=0)
     S = jnp.cumsum(rows, axis=0)
     S = jnp.concatenate([jnp.zeros((1, C), cols.dtype), S], axis=0)
+    # per-leaf start offsets via a scalar scatter-add histogram. Measured
+    # alternatives at 1M rows -> 1.06M leaves (scratch/r6_seg.py, TPU v5
+    # lite): this histogram form 22.1 ms end-to-end; searchsorted
+    # method="sort" (one merged (n+n_out) sort, no scatter) 46.0 ms — the
+    # single-column megasort costs far more than the 9 ms scatter it
+    # replaces (wide multi-row sorts are near-free on this VPU, 1M-element
+    # single sorts are not).
     cnt = jnp.zeros(n_out, jnp.int32).at[leaf_id].add(1)
     start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt).astype(jnp.int32)])

@@ -867,7 +867,10 @@ def _trace_tile(pyr, cellmap, bricks, o, d, corners, apex, depth, top_depth,
         chunk_tiles = T
     g = T // chunk_tiles
 
-    # phase 1: per-tile candidate lists (chunked to bound sort widths)
+    # phase 1: per-tile candidate lists (chunked to bound sort widths;
+    # a single unchunked pass measured bit-identical and 0.4 ms SLOWER at
+    # the bench config — scratch/r6_p1.py — so the per-chunk kernel chain
+    # is NOT launch-bound)
     codes, ids, t_codes, drop_t = jax.tree_util.tree_map(
         lambda x: x.reshape((T,) + x.shape[2:]),
         jax.lax.map(
