@@ -34,6 +34,8 @@ from typing import Callable
 
 import numpy as np
 
+from raytracingtest_tpu.utils.perlin import (
+    fbm3 as perlin_fbm3, perlin_fbm3_lipschitz)
 from raytracingtest_tpu.utils.noise import fbm3, fbm3_lipschitz, noise3, NOISE3_LIPSCHITZ
 
 
@@ -92,6 +94,22 @@ def _terrain(x, y, z, xp):
         xp.asarray(z, xp.float32) * _NOISE_FREQ,
         xp=xp,
         octaves=2,
+    )
+    return xp.asarray(y, xp.float32) - (0.45 + _NOISE_AMP * h)
+
+
+def _perlin_terrain(x, y, z, xp):
+    # Two-octave classic-Perlin fbm heightfield — the same terrain family
+    # as `_terrain` but over the reference's (dead-code) Perlin noise
+    # (Perlin.cs:104-113 fbm semantics), exercising utils/perlin.py
+    # through the production builder. Certified bound: perlin.py.
+    x = xp.asarray(x, xp.float32)
+    h = perlin_fbm3(
+        x * _NOISE_FREQ,
+        xp.zeros_like(x),
+        xp.asarray(z, xp.float32) * _NOISE_FREQ,
+        octaves=2,
+        xp=xp,
     )
     return xp.asarray(y, xp.float32) - (0.45 + _NOISE_AMP * h)
 
@@ -195,6 +213,8 @@ SCENES = {
         Scene("rotated_cuboid", _rotated_cuboid, 1.0),
         Scene("terrain", _terrain, _TERRAIN_L),
         Scene("dense_cube", _dense_cube, 1.0),
+        Scene("perlin", _perlin_terrain,
+              1.0 + _NOISE_AMP * _NOISE_FREQ * perlin_fbm3_lipschitz(2)),
         Scene("terrain_ref", _terrain_ref,
               1.0 + (0.5 * 3.0 + 0.15 * 24.0) * _ref_lipschitz()),
         Scene("simplex_ref", _simplex_ref, 6.0 * _ref_lipschitz()),

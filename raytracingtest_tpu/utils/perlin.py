@@ -183,3 +183,27 @@ def fbm1(x, octaves, xp=np):
         x = x * np.float32(2)
         wgt = np.float32(wgt * np.float32(0.5))
     return f
+
+
+# ---------------------------------------------------------------------------
+# Certified Lipschitz bounds (for the builder's hierarchical pruning,
+# scenes.py). Derivation for noise3 (within one lattice cell; improved
+# noise is C1 across cells, so the within-cell bound is global):
+#   corner values n = g . d with g from the 12-edge set (two +-1
+#   components) and offsets d in [-1,1]^3  =>  |n| <= 2, |dn/daxis| <= 1.
+#   Per axis (say x, with u = fade(x)): the innermost x-lerp contributes
+#   |d/dx lerp_u(a,b)| <= max|dn/dx| + max|fade'| * |b-a|
+#                      <= 1 + 1.875 * 4 = 8.5
+#   (max fade' = 30 t^2 (1-t)^2 at t=1/2 = 1.875; |b - a| <= 4), and every
+#   outer lerp in a different axis is a convex combination (<= max of its
+#   operands). The same holds for y and z via their own fade factor, so
+#   |df/daxis| <= 8.5 and |grad f| <= sqrt(3) * 8.5 < 14.73.
+# fbm3: octave i samples at scale 2^i with weight 2^-(i+1), so each octave
+# contributes L/2 and `octaves` octaves give octaves * L / 2.
+# ---------------------------------------------------------------------------
+
+PERLIN3_LIPSCHITZ = 14.73
+
+
+def perlin_fbm3_lipschitz(octaves: int) -> float:
+    return octaves * PERLIN3_LIPSCHITZ / 2.0
