@@ -256,6 +256,14 @@ def main():
         out["fwd_mrays_per_s"] = round(fwd_rays_per_s / 1e6, 2)
         out["fwd_ms_per_frame"] = round(dt_f * 1e3, 1)
         out["fwdbwd_over_fwd"] = round(fwd_rays_per_s / rays_per_s, 2)
+    if use_tile:
+        # honesty check: the recorded number must be for EXACT hits — report
+        # the unresolved-ray residual of the benchmarked config explicitly
+        _img, _res = diff.render_diff_tile(
+            albedo, normal, density, tsvo, o_t, d_t, corners, light,
+            k_max=tile_k, fb_tiles=tile_fbt, fb_k=tile_fbk,
+            fb2_tiles=tile_fb2)
+        out["residual_rays"] = int(jnp.sum(_res))
     print(json.dumps(out))
 
 
