@@ -312,11 +312,11 @@ loss_and_grads_brick = jax.jit(
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("k_max", "chunk_tiles", "fb_tiles",
-                                   "fb_k", "fb2_tiles"))
+                                   "fb_k", "fb2_tiles", "fb2_split"))
 def render_diff_tile(albedo, normal, density, tsvo, o, d, corners,
                      light_dir, light_intensity=1.3, light_ambient=0.08,
                      k_max=64, chunk_tiles=256, fb_tiles=128, fb_k=256,
-                     fb2_tiles=0, skybox=None):
+                     fb2_tiles=0, fb2_split=2, skybox=None):
     """Differentiable render via the tile traversal (hits bit-identical to
     render_diff — tested). o/d: (T, P, 3) tile-major; returns ((T*P, 3)
     radiance, residual-unresolved count). skybox: optional (H, W, 3)
@@ -327,7 +327,7 @@ def render_diff_tile(albedo, normal, density, tsvo, o, d, corners,
     res, residual = tile_mod._trace_tile_fb(
         tsvo.pyr, tsvo.cellmap, b.bricks, o, d, corners, o[0, 0],
         tsvo.depth, tsvo.top_depth,
-        caps, k_max, chunk_tiles, fb_tiles, fb_k, fb2_tiles)
+        caps, k_max, chunk_tiles, fb_tiles, fb_k, fb2_tiles, fb2_split)
     hit_leaf = jax.lax.stop_gradient(res.hit_leaf)
     img = shade_diff(hit_leaf, d.reshape(-1, 3), albedo, normal, density,
                      light_dir, light_intensity, light_ambient,
@@ -337,7 +337,7 @@ def render_diff_tile(albedo, normal, density, tsvo, o, d, corners,
 
 def l2_loss_tile(albedo, normal, density, tsvo, o, d, corners, light_dir,
                  target, k_max=64, chunk_tiles=256, fb_tiles=128, fb_k=256,
-                 fb2_tiles=0):
+                 fb2_tiles=0, fb2_split=2):
     """Tile-path training loss. Returns (loss, residual count): residual is
     the number of rays whose hits are still cap-limited after the enlarged-K
     re-walk (loss/grads over them use inexact hits) — callers must surface
@@ -345,14 +345,14 @@ def l2_loss_tile(albedo, normal, density, tsvo, o, d, corners, light_dir,
     img, residual = render_diff_tile(
         albedo, normal, density, tsvo, o, d, corners, light_dir,
         k_max=k_max, chunk_tiles=chunk_tiles, fb_tiles=fb_tiles, fb_k=fb_k,
-        fb2_tiles=fb2_tiles)
+        fb2_tiles=fb2_tiles, fb2_split=fb2_split)
     return jnp.mean((img - target) ** 2), residual
 
 
 loss_and_grads_tile = jax.jit(
     jax.value_and_grad(l2_loss_tile, argnums=(0, 1, 2), has_aux=True),
     static_argnames=("k_max", "chunk_tiles", "fb_tiles", "fb_k",
-                     "fb2_tiles"),
+                     "fb2_tiles", "fb2_split"),
 )
 
 

@@ -1144,7 +1144,7 @@ def trace_tile_fb(tsvo: TileSVO, o, d, corners, k_max=64, caps=None,
 
 def trace_tile_exact(tsvo: TileSVO, o, d, corners, k_max=48, caps=None,
                      chunk_tiles=256, fb_tiles=128, fb_k=256,
-                     fb2_tiles=32) -> TraceResult:
+                     fb2_tiles=32, fb2_split=2) -> TraceResult:
     """Exact tile trace: the in-jit enlarged-K re-walk (then the sub-tile
     re-walk) resolves nearly all cap-dropped rays in the same dispatch;
     any residual rays (rare) are re-traced per-ray on the host-sync brick
@@ -1153,7 +1153,8 @@ def trace_tile_exact(tsvo: TileSVO, o, d, corners, k_max=48, caps=None,
     res, unresolved = trace_tile_fb(tsvo, o, d, corners, k_max=k_max,
                                     caps=caps, chunk_tiles=chunk_tiles,
                                     fb_tiles=fb_tiles, fb_k=fb_k,
-                                    fb2_tiles=fb2_tiles)
+                                    fb2_tiles=fb2_tiles,
+                                    fb2_split=fb2_split)
     n_un = int(jnp.sum(unresolved))
     if n_un == 0:
         return res

@@ -69,3 +69,8 @@ for mode in ("plain", "sorted"):
     float(seg_scatter(srts[0], cols, mode))
     dt = (time.time() - t0) / 7
     print(f"row-scatter (N,7) {mode}: {dt*1e3:7.2f} ms", flush=True)
+# measured 2026-08-22 (TPU v5 lite): hist unsorted 10.38 / sorted 12.60 /
+# sorted+flag 12.54 ms; row-scatter plain 48.21 / sorted-flag 48.05 ms.
+# indices_are_sorted does NOT change the XLA:TPU scatter lowering here;
+# the 9-10 ms scalar-scatter histogram is the floor. (Sorted ids are even
+# slightly slower — the serialized scatter walks the same rows either way.)
