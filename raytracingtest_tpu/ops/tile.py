@@ -928,6 +928,57 @@ def _walk_tiles_chunk(bricks, o, d, codes, ids, t_codes, drop_t, *, depth,
     return hit_leaf, hit_t, iters, unresolved
 
 
+def _walk_tiles_scheduled(bricks, o, d, codes, ids, t_codes, drop_t, *,
+                          depth, top_depth, k_max, dda_unroll=8, win=None,
+                          loads=None, skips=None, lane_budget=65536):
+    """Cost-sorted chunked dispatch of _walk_tiles_chunk — the main walk's
+    schedule applied to the FALLBACK walks. A single unchunked fb walk
+    serializes every tile on the globally worst tile's trip count; at the
+    depth-12 exactness budgets (2048 tiles x 4x4 sub-tiles, k=256) that
+    one while_loop was the whole frame (r6). Sorting by candidate count
+    and chunking to ~lane_budget lanes lets light sub-tiles retire in few
+    trips. Small budgets (the bench config's 96-tile fb) stay a single
+    call.
+
+    Identity caveat: tiles are independent, and on TPU the chunked walk
+    measured bit-identical to the single call (depth-12 2048^2: same
+    1,544,663 hits, 2620 -> 1713 ms/frame). On CPU the different static
+    shapes let LLVM contract multiply-adds differently, so hit_t can
+    wobble by ~1 ULP vs the single-call program (hit ids, iters and the
+    unresolved mask stay exact) — see
+    tests/test_tile.py::test_walk_scheduled_chunked_parity."""
+    T, P = o.shape[0], o.shape[1]
+    rows = max(1, lane_budget // max(P, 1))
+    if T <= rows:
+        return _walk_tiles_chunk(bricks, o, d, codes, ids, t_codes, drop_t,
+                                 depth=depth, top_depth=top_depth,
+                                 k_max=k_max, dda_unroll=dda_unroll,
+                                 win=win, loads=loads, skips=skips)
+    g = -(-T // rows)
+    while T % g:
+        g += 1
+    if g > 4 * (-(-T // rows)):     # pathological divisor: keep one call
+        return _walk_tiles_chunk(bricks, o, d, codes, ids, t_codes, drop_t,
+                                 depth=depth, top_depth=top_depth,
+                                 k_max=k_max, dda_unroll=dda_unroll,
+                                 win=win, loads=loads, skips=skips)
+    count = jnp.sum(ids >= 0, axis=1)
+    order = jnp.argsort(count)
+    inv = jnp.argsort(order)
+    perm = lambda x: jnp.take(x, order, axis=0)
+    rows_c = T // g
+    res = jax.lax.map(
+        lambda args: _walk_tiles_chunk(bricks, *args, depth=depth,
+                                       top_depth=top_depth, k_max=k_max,
+                                       dda_unroll=dda_unroll, win=win,
+                                       loads=loads, skips=skips),
+        tuple(x.reshape((g, rows_c) + x.shape[1:]) for x in
+              (perm(o), perm(d), perm(codes), perm(ids), perm(t_codes),
+               perm(drop_t))))
+    unperm = lambda x: jnp.take(x.reshape((T,) + x.shape[2:]), inv, axis=0)
+    return tuple(map(unperm, res))
+
+
 # default per-level candidate caps (level-indexed; clipped to 8^l and to
 # k_max at the finest level). Ramp: coarse levels are cheap to keep small,
 # the finest carries the real list.
@@ -1072,8 +1123,9 @@ def _trace_tile_fb(pyr, cellmap, bricks, o, d, corners, apex, depth,
         codes2, ids2, t2, drop2 = _candidates(pyr, cellmap, c_s, apex,
                                               top_depth, caps2, fb_k)
         ids2 = _remap(ids2)
-        # wide window for the long fb_k lists
-        hit2, t_hit2, _it2, un2 = _walk_tiles_chunk(
+        # wide window for the long fb_k lists; cost-sorted chunking when
+        # the budget exceeds one chunk's lanes (depth-12 exactness configs)
+        hit2, t_hit2, _it2, un2 = _walk_tiles_scheduled(
             bricks, o_s, d_s, codes2, ids2, t2, drop2, depth=depth,
             top_depth=top_depth, k_max=fb_k, win=FB_WIN, loads=FB_LOADS,
             skips=FB_SKIPS)
@@ -1102,7 +1154,7 @@ def _trace_tile_fb(pyr, cellmap, bricks, o, d, corners, apex, depth,
         codes3, ids3, t3, drop3 = _candidates(pyr, cellmap, c3, apex,
                                               top_depth, caps3, fb_k)
         ids3 = _remap(ids3)
-        hit3, t_hit3, _it3, un3 = _walk_tiles_chunk(
+        hit3, t_hit3, _it3, un3 = _walk_tiles_scheduled(
             bricks, o3, d3, codes3, ids3, t3, drop3, depth=depth,
             top_depth=top_depth, k_max=fb_k, win=FB_WIN, loads=FB_LOADS,
             skips=FB_SKIPS)

@@ -196,3 +196,34 @@ def test_subtile_split_roundtrip():
     dd = np.asarray(d2)
     pd = np.einsum("tpx,trx->trp", np.asarray(planes), dd)
     assert (pd >= -1e-4).all()
+
+
+def test_walk_scheduled_chunked_parity():
+    """_walk_tiles_scheduled's chunked branch (lane_budget exceeded) must
+    agree with the single-call walk — the depth-12 exactness configs
+    (thousands of fb sub-tiles) ride this path. Hit ids, iters and the
+    unresolved mask are exactly equal; hit_t is allclose-only on CPU,
+    where the chunked program's different static shapes let LLVM contract
+    multiply-adds differently (~1 ULP — on TPU the two measured
+    bit-identical, PROFILE.md r6)."""
+    svo, ts, o, d, corners = _setup("terrain", 6, res_px=128)
+    caps = tile._default_caps(ts.top_depth, 32)
+    codes, ids, t_codes, drop_t = tile._candidates(
+        jnp.asarray(ts.pyr), jnp.asarray(ts.cellmap),
+        jnp.asarray(corners, jnp.float32), jnp.asarray(o[0, 0]),
+        ts.top_depth, caps, 32)
+    bricks = jnp.asarray(ts.bsvo.bricks)
+    kw = dict(depth=ts.depth, top_depth=ts.top_depth, k_max=32)
+    single = tile._walk_tiles_chunk(
+        bricks, jnp.asarray(o), jnp.asarray(d), codes, ids, t_codes,
+        drop_t, **kw)
+    # 64 tiles x 256 rays; budget 4096 lanes -> 16-row chunks (4 chunks)
+    chunked = tile._walk_tiles_scheduled(
+        bricks, jnp.asarray(o), jnp.asarray(d), codes, ids, t_codes,
+        drop_t, lane_budget=4096, **kw)
+    for i, (a, b) in enumerate(zip(single, chunked)):
+        if i == 1:      # hit_t: CPU FMA-contraction wobble (docstring)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
