@@ -24,11 +24,18 @@ import time
 import numpy as np
 
 
-def _load_or_build(scene_name: str, depth: int, cache_dir: str):
+def _load_or_build(scene_name: str, depth: int, cache_dir: str,
+                   load: str = ""):
     from raytracingtest_tpu.io import checkpoint as ckpt
     from raytracingtest_tpu.ops.octree import build_svo
     from raytracingtest_tpu.scenes import get_scene
 
+    if load:
+        # render any saved SVO directly — e.g. a depth-12 device build or
+        # a fitted checkpoint — without a scene rebuild (the role of the
+        # reference's CompactSVO load-from-file ctor, CompactSVO.cs:69-71,
+        # which upstream left an empty stub)
+        return ckpt.load_svo(load)
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"svo_{scene_name}_d{depth}.npz")
     if os.path.exists(path):
@@ -53,7 +60,8 @@ def cmd_render(args):
     from raytracingtest_tpu.models import SurfaceRenderer, VolumetricRenderer
     from raytracingtest_tpu.utils.profiling import RaysPerSecond
 
-    svo = _load_or_build(args.scene, args.depth, args.cache_dir).device()
+    svo = _load_or_build(args.scene, args.depth, args.cache_dir,
+                         getattr(args, "load", "")).device()
     cam = CameraConfig(
         position=tuple(args.camera_position),
         look_at=tuple(args.look_at), fov_y_deg=args.fov,
@@ -309,7 +317,8 @@ def cmd_fly(args):
 
 
 def cmd_info(args):
-    svo = _load_or_build(args.scene, args.depth, args.cache_dir)
+    svo = _load_or_build(args.scene, args.depth, args.cache_dir,
+                         getattr(args, "load", ""))
     print(f"scene={args.scene} depth={svo.depth}")
     print(f"nodes={svo.n_nodes} leaves={svo.n_leaves}")
     for l in range(svo.depth):
@@ -495,6 +504,9 @@ def main(argv=None):
                     help="environment map sampled on miss: a Radiance .hdr "
                     "file, any image file, or 'procedural' (baked daytime "
                     "map with an HDR sun disc)")
+    pr.add_argument("--load", default="",
+                    help="render a saved SVO checkpoint (.npz) instead of "
+                    "building --scene/--depth")
     pr.add_argument("--out", default="render.png")
     pr.set_defaults(fn=cmd_render)
 
@@ -533,6 +545,8 @@ def main(argv=None):
     pfly.set_defaults(fn=cmd_fly)
 
     pi = sub.add_parser("info", help="print SVO statistics")
+    pi.add_argument("--load", default="",
+                    help="inspect a saved SVO checkpoint (.npz)")
     pi.add_argument("--scene", default="terrain")
     pi.add_argument("--depth", type=int, default=8)
     pi.set_defaults(fn=cmd_info)

@@ -137,3 +137,20 @@ def test_device_op_breakdown():
     assert isinstance(rows, list)
     for name, ms, count in rows:
         assert ms >= 0 and count >= 1
+
+
+def test_render_and_info_from_saved_checkpoint(tmp_path):
+    """--load renders/inspects any saved SVO npz without a scene rebuild
+    (the reference's stubbed CompactSVO load-from-file role)."""
+    import raytracingtest_tpu as rt
+    from raytracingtest_tpu.io import checkpoint as ckpt
+    from raytracingtest_tpu.cli import main
+
+    svo = rt.build_svo(rt.get_scene("sphere"), 5).svo
+    path = tmp_path / "sphere_d5.npz"
+    ckpt.save_svo(svo, str(path))
+    out = tmp_path / "img.png"
+    main(["render", "--load", str(path), "--width", "64", "--height", "64",
+          "--out", str(out)])
+    assert out.exists() and out.stat().st_size > 500
+    main(["info", "--load", str(path)])
