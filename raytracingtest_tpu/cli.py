@@ -319,7 +319,8 @@ def cmd_fly(args):
 def cmd_info(args):
     svo = _load_or_build(args.scene, args.depth, args.cache_dir,
                          getattr(args, "load", ""))
-    print(f"scene={args.scene} depth={svo.depth}")
+    src = args.load if getattr(args, "load", "") else args.scene
+    print(f"scene={src} depth={svo.depth}")
     print(f"nodes={svo.n_nodes} leaves={svo.n_leaves}")
     for l in range(svo.depth):
         lo, hi = svo.level_start[l], svo.level_start[l + 1]
